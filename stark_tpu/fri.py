@@ -1,0 +1,447 @@
+"""FRI low-degree test: commit / fold / query / prove / verify.
+
+Protocol contract: reference src/fri.rs:29-525, reproduced transcript- and
+proof-byte-exactly.  TPU-native re-design of the hot loops:
+
+* **fold** (fri.rs:57-91): the reference computes x = offset*omega^i with a
+  per-element modular exponentiation (O(N log N) muls per round).  Here each
+  round's inverse-ladder 1/x_i = offset^{-1} * omega^{-i} is precomputed once
+  (log-doubling), stored in Montgomery form, and the fold is a fused
+  elementwise device op:  folded = 2^{-1} * ((a+b) + alpha*(1/x)*(a-b)).
+* **commit** (fri.rs:105-156): per-round leaf hashing and Merkle levels are
+  batched device ops (ops/hash_batch).  Trees are cached and reused in the
+  query phase — the reference rebuilds identical trees (fri.rs:288-298);
+  the bytes produced are the same.
+* **host control plane**: transcript, challenges, index sampling
+  (fri.rs:168-213) and proof-stream writes are sequential byte-exact Python.
+
+Bit-exactness quirks preserved (SURVEY section 3.6): challenges stay
+unreduced u64 until they enter modular ops; the index-sampling seed is
+Hash::from_u64 of the RAW challenge value (fri.rs:272); commit pads leaf
+vectors to a power of two with zero hashes (fri.rs:123-125 — a no-op for
+power-of-two codewords).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stark_tpu.field import FieldElement, FiniteField
+from stark_tpu.hashfn import Hash, hash_bytes
+from stark_tpu.merkle import MerkleTree
+from stark_tpu.ops import fieldops as F
+from stark_tpu.ops import ntt as NTT
+from stark_tpu.ops.fieldops import P
+from stark_tpu.stream import (
+    FieldElements,
+    MerklePath,
+    MerkleRoot,
+    ProofStream,
+)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _fold_kernel(a, b, inv_x_mont, alpha_w, alpha_ws, inv2_w, inv2_ws):
+    """folded = 2^{-1} * ((a + b) + alpha/x * (a - b)), all mod p.
+
+    inv_x_mont holds (offset*omega^i)^{-1} * R mod p; one Shoup multiply by
+    the round's alpha and one Montgomery multiply by (a-b) keep everything
+    in a single fused elementwise pass.
+    """
+    s = F.addmod(a, b)
+    d = F.submod(a, b)
+    t = F.shoup_mul(inv_x_mont, alpha_w, alpha_ws)  # alpha/x * R mod p
+    u = F.mont_mul(t, d)                            # alpha/x * (a-b)
+    return F.shoup_mul(F.addmod(s, u), inv2_w, inv2_ws)
+
+
+class FriPlan:
+    """Per-(domain, omega, offset) precomputation: the inverse-x ladders of
+    every round, in Montgomery form (offset and omega square per round,
+    fri.rs:146-147, so all ladders are known upfront)."""
+
+    def __init__(self, domain_length: int, omega: int, offset: int, num_rounds: int):
+        self.inv_x_mont = []
+        w, o = omega % P, offset % P
+        for _ in range(max(num_rounds - 1, 0)):
+            half = domain_length // 2
+            w_inv = pow(w, P - 2, P)
+            o_inv = pow(o, P - 2, P)
+            ladder = F.host_powers(w_inv, half, scale=o_inv)
+            mont = (ladder.astype(np.uint64) * ((1 << 32) % P)) % P
+            self.inv_x_mont.append(jnp.asarray(mont.astype(np.uint32)))
+            w = (w * w) % P
+            o = (o * o) % P
+            domain_length //= 2
+
+
+_INV2 = pow(2, P - 2, P)
+_INV2_SHOUP = int(F.shoup_precompute(_INV2))
+
+
+class Fri:
+    """Contract: fri.rs:29-55 (parameter invariants included)."""
+
+    def __init__(
+        self,
+        omega,
+        offset,
+        domain_length: int,
+        expansion_factor: int,
+        num_colinearity_tests: int,
+        field: FiniteField | None = None,
+    ):
+        assert domain_length & (domain_length - 1) == 0, (
+            "Domain length must be power of 2"
+        )
+        assert expansion_factor & (expansion_factor - 1) == 0, (
+            "Expansion factor must be power of 2"
+        )
+        assert expansion_factor >= 4, "Expansion factor must be at least 4"
+        self.omega = omega.value if isinstance(omega, FieldElement) else int(omega)
+        self.offset = offset.value if isinstance(offset, FieldElement) else int(offset)
+        self.domain_length = domain_length
+        self.field = field or (
+            omega.field if isinstance(omega, FieldElement) else FiniteField()
+        )
+        self.expansion_factor = expansion_factor
+        self.num_colinearity_tests = num_colinearity_tests
+        self._plan = FriPlan(domain_length, self.omega, self.offset, self.num_rounds())
+
+    def num_rounds(self) -> int:
+        """fri.rs:93-103: halve while len > expansion AND 4*tests < len."""
+        codeword_length = self.domain_length
+        rounds = 0
+        while (
+            codeword_length > self.expansion_factor
+            and 4 * self.num_colinearity_tests < codeword_length
+        ):
+            codeword_length //= 2
+            rounds += 1
+        return rounds
+
+    # -- fold (fri.rs:57-91) ---------------------------------------------------
+
+    def fold_codeword(self, codeword, alpha: int, round_idx: int):
+        """codeword: (n,) uint32 device array; alpha raw (possibly unreduced)."""
+        n = codeword.shape[0]
+        half = n // 2
+        a_red = alpha % P
+        alpha_w = jnp.uint32(a_red)
+        alpha_ws = jnp.uint32(int(F.shoup_precompute(a_red)))
+        return _fold_kernel(
+            codeword[:half],
+            codeword[half:],
+            self._plan.inv_x_mont[round_idx],
+            alpha_w,
+            alpha_ws,
+            jnp.uint32(_INV2),
+            jnp.uint32(_INV2_SHOUP),
+        )
+
+    # -- commit (fri.rs:105-156) -------------------------------------------------
+
+    def commit(self, initial_codeword, proof_stream: ProofStream, fiat_shamir):
+        """Returns (codewords, trees): the recorded codewords exactly as
+        fri.rs:140+151-153 records them, plus their Merkle trees (cached for
+        the query phase; the reference rebuilds identical trees)."""
+        codeword = jnp.asarray(initial_codeword, dtype=jnp.uint32)
+        codewords: list = []
+        trees: list = []
+        last_tree = None
+        rounds = self.num_rounds()
+        for r in range(rounds):
+            # Leaf vectors are padded to a power of two with zero hashes
+            # (fri.rs:123-125) — a no-op here: codeword lengths are pow2.
+            tree = MerkleTree.from_leaf_values(codeword)
+            root = tree.root
+            proof_stream.push(MerkleRoot(root))
+            fiat_shamir.absorb(root.data)
+
+            if r == rounds - 1:
+                last_tree = tree
+                break
+
+            alpha = fiat_shamir.challenge(self.field)  # pure; unreduced u64
+            codewords.append(codeword)
+            trees.append(tree)
+            codeword = self.fold_codeword(codeword, alpha.value, r)
+
+        last_np = np.asarray(codeword)
+        proof_stream.push(FieldElements(tuple(int(v) for v in last_np)))
+        codewords.append(codeword)
+        trees.append(last_tree)
+        return codewords, trees
+
+    # -- index sampling (fri.rs:168-213) ----------------------------------------
+
+    @staticmethod
+    def sample_index(byte_array: bytes, size: int) -> int:
+        """Fold digest bytes into a u128 accumulator, mod size (fri.rs:168-174)."""
+        acc = 0
+        for b in byte_array:
+            acc = ((acc << 8) ^ b) & ((1 << 128) - 1)
+        return acc % size
+
+    def sample_indices(
+        self, seed: bytes, size: int, reduced_size: int, number: int
+    ) -> list[int]:
+        assert number <= 2 * reduced_size, (
+            "not enough entropy in indices wrt last codeword"
+        )
+        assert number <= reduced_size, (
+            "cannot sample more indices than available in last codeword; "
+            f"requested: {number}, available: {reduced_size}"
+        )
+        indices: list[int] = []
+        reduced: list[int] = []
+        counter = 0
+        while len(indices) < number:
+            digest = hash_bytes(seed + counter.to_bytes(4, "little"))
+            index = Fri.sample_index(digest, size)
+            reduced_index = index % reduced_size
+            counter += 1
+            if reduced_index not in reduced:
+                indices.append(index)
+                reduced.append(reduced_index)
+        return indices
+
+    # -- query (fri.rs:215-248) ---------------------------------------------------
+
+    def query(
+        self,
+        current_codeword: np.ndarray,
+        next_codeword: np.ndarray,
+        c_indices: list[int],
+        proof_stream: ProofStream,
+        current_tree: MerkleTree,
+        next_tree: MerkleTree,
+    ) -> list[int]:
+        half = len(current_codeword) // 2
+        a_indices = list(c_indices)
+        b_indices = [i + half for i in a_indices]
+
+        for s in range(self.num_colinearity_tests):
+            triple = (
+                int(current_codeword[a_indices[s]]),
+                int(current_codeword[b_indices[s]]),
+                int(next_codeword[c_indices[s]]),
+            )
+            proof_stream.push(FieldElements(triple))
+
+        for s in range(self.num_colinearity_tests):
+            proof_stream.push(MerklePath(tuple(current_tree.open(a_indices[s]))))
+            proof_stream.push(MerklePath(tuple(current_tree.open(b_indices[s]))))
+            proof_stream.push(MerklePath(tuple(next_tree.open(c_indices[s]))))
+
+        return a_indices + b_indices
+
+    # -- prove (fri.rs:250-311) -----------------------------------------------------
+
+    def prove(self, initial_codeword, fiat_shamir, proof_stream: ProofStream):
+        initial_codeword = jnp.asarray(initial_codeword, dtype=jnp.uint32)
+        assert self.domain_length == initial_codeword.shape[0], (
+            "initial codeword length does not match domain length"
+        )
+
+        codewords, trees = self.commit(initial_codeword, proof_stream, fiat_shamir)
+
+        sample_size = (
+            codewords[1].shape[0] if len(codewords) > 1 else codewords[0].shape[0]
+        )
+        # Seed from the RAW (unreduced) challenge value (fri.rs:272).
+        seed = Hash.from_u64(fiat_shamir.challenge(self.field).value).data
+        top_level_indices = self.sample_indices(
+            seed,
+            sample_size,
+            codewords[-1].shape[0],
+            self.num_colinearity_tests,
+        )
+        indices = list(top_level_indices)
+
+        codewords_np = [np.asarray(c) for c in codewords]
+        for i in range(len(codewords) - 1):
+            indices = [idx % (codewords_np[i].shape[0] // 2) for idx in indices]
+            self.query(
+                codewords_np[i],
+                codewords_np[i + 1],
+                indices,
+                proof_stream,
+                trees[i],
+                trees[i + 1],
+            )
+
+        return top_level_indices
+
+    # -- verify (fri.rs:313-504) -------------------------------------------------------
+
+    def verify(
+        self,
+        proof_stream: ProofStream,
+        fiat_shamir,
+        polynomial_values: list,
+    ) -> bool:
+        field = self.field
+        omega = self.omega % P
+        offset = self.offset % P
+        rounds = self.num_rounds()
+
+        roots: list[Hash] = []
+        alphas: list[int] = []
+        for _ in range(rounds):
+            obj = proof_stream.pop()
+            if not isinstance(obj, MerkleRoot):
+                print("Failed to extract Merkle root")
+                return False
+            roots.append(obj.hash)
+            fiat_shamir.absorb(obj.hash.data)
+            alphas.append(fiat_shamir.challenge(field).value)  # raw u64
+
+        obj = proof_stream.pop()
+        if not isinstance(obj, FieldElements):
+            print("Failed to extract last codeword")
+            return False
+        last_codeword = [fe.value for fe in obj.elements]
+
+        if not roots:
+            print("No FRI roots extracted")
+            return False
+        # Leaves hash the RAW u64 wire value (fri.rs:349-352); honest values
+        # are reduced and take the batched device path.
+        if any(v >= P for v in last_codeword):
+            last_tree = MerkleTree(
+                [Hash.from_field_elements([v]) for v in last_codeword]
+            )
+        else:
+            last_tree = MerkleTree.from_leaf_values(
+                np.array(last_codeword, dtype=np.uint32)
+            )
+        if roots[-1] != last_tree.root:
+            print("last codeword is not well formed")
+            return False
+
+        # Low-degree check (fri.rs:360-397) via coset iNTT (the last domain is
+        # the smooth coset {last_offset * last_omega^i}) instead of the
+        # reference's O(n^3) Lagrange — same unique interpolant.
+        degree_bound = len(last_codeword) // self.expansion_factor
+        if degree_bound == 0:
+            print("last codeword too small")
+            return False
+        degree = degree_bound - 1
+        last_omega, last_offset = omega, offset
+        for _ in range(rounds - 1):
+            last_omega = (last_omega * last_omega) % P
+            last_offset = (last_offset * last_offset) % P
+
+        n_last = len(last_codeword)
+        # check the domain is consistent (last_omega must have order n_last)
+        if pow(last_omega, n_last, P) != 1 or (
+            n_last > 1 and pow(last_omega, n_last // 2, P) == 1
+        ):
+            print("last omega has wrong order")
+            return False
+        vals = np.array([v % P for v in last_codeword], dtype=np.uint32)
+        coeffs = np.asarray(NTT.coset_interp(vals, last_offset))
+        re_eval = np.asarray(NTT.coset_eval(coeffs, last_offset))
+        # The reference compares FieldElements by RAW value (ff.rs:50-58):
+        # a wire value >= p can never equal the (canonical) re-evaluation.
+        if any(v >= P for v in last_codeword) or not np.array_equal(re_eval, vals):
+            print("re-evaluated codeword does not match original!")
+            return False
+        observed_degree = -1
+        for i, c in enumerate(coeffs):
+            if int(c) != 0:
+                observed_degree = i
+        if observed_degree > degree:
+            print("last codeword does not correspond to polynomial of low enough degree")
+            print(f"observed degree: {observed_degree}")
+            print(f"but should be: {degree}")
+            return False
+
+        # Index resampling (fri.rs:400-405) — seed from RAW challenge.
+        seed = Hash.from_u64(fiat_shamir.challenge(field).value).data
+        top_level_indices = self.sample_indices(
+            seed,
+            self.domain_length >> 1,
+            self.domain_length >> (rounds - 1),
+            self.num_colinearity_tests,
+        )
+
+        for r in range(rounds - 1):
+            half_len = self.domain_length >> (r + 1)
+            c_indices = [idx % half_len for idx in top_level_indices]
+            a_indices = list(c_indices)
+            b_indices = [idx + half_len for idx in a_indices]
+
+            aa, bb, cc = [], [], []
+            for s in range(self.num_colinearity_tests):
+                obj = proof_stream.pop()
+                if not isinstance(obj, FieldElements):
+                    print("Failed to extract triple values")
+                    return False
+                if len(obj.elements) != 3:
+                    print("Expected triple of values")
+                    return False
+                ay, by, cy = (fe.value for fe in obj.elements)
+                aa.append(ay)
+                bb.append(by)
+                cc.append(cy)
+
+                if r == 0:
+                    polynomial_values.append((a_indices[s], field.new_element(ay)))
+                    polynomial_values.append((b_indices[s], field.new_element(by)))
+
+                ax = (offset * pow(omega, a_indices[s], P)) % P
+                bx = (offset * pow(omega, b_indices[s], P)) % P
+                cx = alphas[r]  # raw u64 — colinearity math reduces per-op
+                if not _test_colinearity_scalar((ax, ay), (bx, by), (cx, cy)):
+                    print("colinearity check failure")
+                    return False
+
+            for i in range(self.num_colinearity_tests):
+                for label, idx, val, root in (
+                    ("aa", a_indices[i], aa[i], roots[r]),
+                    ("bb", b_indices[i], bb[i], roots[r]),
+                    ("cc", c_indices[i], cc[i], roots[r + 1]),
+                ):
+                    obj = proof_stream.pop()
+                    if not isinstance(obj, MerklePath):
+                        print(f"Failed to extract path for {label}")
+                        return False
+                    leaf = Hash.from_field_elements([val])
+                    if not MerkleTree.verify(leaf, idx, list(obj.path), root):
+                        print(
+                            "merkle authentication path verification fails "
+                            f"for {label}"
+                        )
+                        return False
+
+            omega = (omega * omega) % P
+            offset = (offset * offset) % P
+        return True
+
+
+_U128_MASK = (1 << 128) - 1
+
+
+def _sub_ref(l: int, r: int) -> int:
+    """Field subtraction with the reference's exact u128 semantics
+    (ff.rs:154-160): (p + l - r) computed in u128 *wrapping* arithmetic —
+    for adversarial unreduced inputs with r > p + l the reference
+    (release-mode) wraps mod 2^128 before reducing."""
+    return ((P + l - r) & _U128_MASK) % P
+
+
+def _test_colinearity_scalar(p0, p1, p2) -> bool:
+    """Cross-multiplication colinearity (fri.rs:507-525).  Coordinates may be
+    raw (unreduced) u64s; each op reduces, matching ff.rs per-op semantics."""
+    (x0, y0), (x1, y1), (x2, y2) = p0, p1, p2
+    dy1 = _sub_ref(y1, y0)
+    dx1 = _sub_ref(x1, x0)
+    dy2 = _sub_ref(y2, y0)
+    dx2 = _sub_ref(x2, x0)
+    return (dy1 * dx2) % P == (dy2 * dx1) % P

@@ -1,0 +1,329 @@
+"""STARK composer: AIR -> composition polynomial -> FRI.
+
+This layer does not exist in the reference (its `trace.rs` is an orphan and
+`FriProof`/`QueryData` are never constructed — SURVEY sections 1-2); it is a
+fresh TPU-first design completing the pipeline: ``prove(trace) -> bytes`` /
+``verify(bytes) -> bool``.
+
+Protocol (prover):
+ 1. Interpolate each trace register over the trace domain {w^i} (batched
+    iNTT) and low-degree-extend onto the evaluation coset
+    {g * W^j}, |coset| = T * blowup (batched NTT).            [device]
+ 2. Merkle-commit the trace LDE (row hashes, batched); absorb the root.
+ 3. Draw two Fiat-Shamir challenges (alpha_k, beta_k) per constraint;
+    the transcript absorbs each challenge's 8 LE bytes (fs.challenge is
+    pure — see transcript.py — so absorption advances the state).
+ 4. Evaluate transition constraints pointwise on the coset, divide by the
+    transition zerofier Z(x) = (x^T - 1) / prod_{tail}(x - w^i) (closed
+    form on the coset), add boundary quotients, degree-adjust each term
+    with alpha_k * x^shift + beta_k, and sum: the composition codeword,
+    of degree <= T-1.                                          [device]
+ 5. FRI-prove the composition codeword (fri.py — transcript bit-exact
+    with the reference protocol).
+ 6. Open the trace Merkle tree at every FRI round-0 query point and its
+    frame-shifted companions.
+
+The verifier mirrors 2-5 from the proof stream, then checks at each FRI
+query point that the composition value FRI recorded equals the one
+recomputed from the opened trace values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from stark_tpu.field import FiniteField
+from stark_tpu.fri import Fri
+from stark_tpu.hashfn import Hash
+from stark_tpu.merkle import MerkleTree
+from stark_tpu.models.air import Air, BatchOps, ScalarOps
+from stark_tpu.ops import fieldops as F
+from stark_tpu.ops import hash_batch as HB
+from stark_tpu.ops import ntt as NTT
+from stark_tpu.ops.fieldops import GENERATOR, P, primitive_nth_root
+from stark_tpu.stream import FieldElements, MerklePath, MerkleRoot, ProofStream
+from stark_tpu.transcript import FiatShamir
+
+
+@dataclass(frozen=True)
+class StarkConfig:
+    trace_length: int
+    blowup: int = 4                  # = FRI expansion factor
+    num_colinearity_tests: int = 8
+    offset: int = GENERATOR          # evaluation coset offset
+
+    def __post_init__(self):
+        assert self.trace_length & (self.trace_length - 1) == 0
+        assert self.blowup & (self.blowup - 1) == 0 and self.blowup >= 4
+
+    @property
+    def domain_size(self) -> int:
+        return self.trace_length * self.blowup
+
+
+class _Domain:
+    """Shared prover/verifier domain quantities."""
+
+    def __init__(self, cfg: StarkConfig, air: Air):
+        self.cfg = cfg
+        self.air = air
+        T, N = cfg.trace_length, cfg.domain_size
+        self.T, self.N = T, N
+        self.omega = primitive_nth_root(T)       # trace-domain generator
+        self.Omega = primitive_nth_root(N)       # coset generator
+        self.offset = cfg.offset % P
+        self.max_off = air.max_offset
+        # Transition enforcement rows: 0 .. T-1-max_off; zerofier
+        # Z(x) = (x^T - 1) / E(x), E(x) = prod_{i=T-max_off}^{T-1} (x - w^i).
+        self.excluded = [pow(self.omega, i, P) for i in range(T - self.max_off, T)]
+        self.num_transition = air.num_transition_constraints()
+        self.boundary = air.boundary_constraints(T)
+        # Degree bookkeeping: trace polys have degree T-1; a constraint of
+        # degree d in the registers has degree d*(T-1); its quotient degree
+        # is that minus deg Z = T - max_off.  Target composition degree is
+        # the FRI bound N/blowup - 1 = T - 1.
+        self.target_degree = T - 1
+        cdeg = air.constraint_degree * (T - 1) - (T - self.max_off)
+        self.transition_shift = self.target_degree - cdeg
+        self.boundary_shift = self.target_degree - (T - 2)
+        assert self.transition_shift >= 0 and self.boundary_shift >= 0
+
+    # -- scalar evaluation at one point (verifier spot checks) ----------------
+
+    def znum_at(self, x: int) -> int:
+        return (pow(x, self.T, P) - 1) % P
+
+    def excluded_at(self, x: int) -> int:
+        e = 1
+        for w in self.excluded:
+            e = (e * (x - w)) % P
+        return e
+
+    def composition_value_at(
+        self, idx: int, trace_rows: dict[int, list[int]], alphas, betas
+    ) -> int:
+        """Recompute the composition codeword value at coset index idx from
+        opened trace rows (trace_rows[k] = registers at index idx+k*blowup)."""
+        x = (self.offset * pow(self.Omega, idx, P)) % P
+        frame = {k: [v % P for v in trace_rows[k]] for k in self.air.frame_offsets}
+        cons = self.air.transition_constraints(frame, ScalarOps)
+        znum = self.znum_at(x)
+        assert znum != 0
+        zinv = pow(znum, P - 2, P)
+        exc = self.excluded_at(x)
+        total = 0
+        ci = 0
+        xs_t = pow(x, self.transition_shift, P)
+        for c in cons:
+            q = (c * exc) % P * zinv % P
+            w = (alphas[ci] * xs_t + betas[ci]) % P
+            total = (total + w * q) % P
+            ci += 1
+        xs_b = pow(x, self.boundary_shift, P)
+        for bc in self.boundary:
+            tv = frame[0][bc.register]
+            denom = (x - pow(self.omega, bc.row, P)) % P
+            q = (tv - bc.value) % P * pow(denom, P - 2, P) % P
+            w = (alphas[ci] * xs_b + betas[ci]) % P
+            total = (total + w * q) % P
+            ci += 1
+        return total
+
+
+def _draw_constraint_challenges(fs: FiatShamir, field: FiniteField, count: int):
+    """count (alpha, beta) pairs; each raw challenge's 8 LE bytes are
+    absorbed so successive challenges differ (challenge() is pure)."""
+    alphas, betas = [], []
+    for _ in range(count):
+        a = fs.challenge(field).value
+        fs.absorb(a.to_bytes(8, "little"))
+        b = fs.challenge(field).value
+        fs.absorb(b.to_bytes(8, "little"))
+        alphas.append(a % P)
+        betas.append(b % P)
+    return alphas, betas
+
+
+class StarkProver:
+    def __init__(self, air: Air, cfg: StarkConfig):
+        self.air = air
+        self.cfg = cfg
+        self.dom = _Domain(cfg, air)
+        d = self.dom
+        self.fri = Fri(
+            omega=d.Omega,
+            offset=d.offset,
+            domain_length=d.N,
+            expansion_factor=cfg.blowup,
+            num_colinearity_tests=cfg.num_colinearity_tests,
+        )
+        # Device-side domain precomputation.
+        self.x_dom = F.powers(d.Omega, d.N, scale=d.offset)        # coset points
+        rho = pow(d.Omega, d.T, P)                                  # order = blowup
+        znum_cycle = [
+            (pow(d.offset, d.T, P) * pow(rho, j, P) - 1) % P
+            for j in range(cfg.blowup)
+        ]
+        znum = np.tile(np.array(znum_cycle, dtype=np.uint32), d.T)
+        self.zinv = F.invmod(jnp.asarray(znum))
+        exc = jnp.ones((d.N,), dtype=jnp.uint32)
+        for w in d.excluded:
+            exc = F.mulmod(exc, F.submod(self.x_dom, jnp.uint32(w)))
+        self.excl = exc
+        self.xshift_t = F.powers(
+            pow(d.Omega, d.transition_shift, P),
+            d.N,
+            scale=pow(d.offset, d.transition_shift, P),
+        )
+        self.xshift_b = F.powers(
+            pow(d.Omega, d.boundary_shift, P),
+            d.N,
+            scale=pow(d.offset, d.boundary_shift, P),
+        )
+
+    def prove(self, trace_rows: list[list[int]]) -> bytes:
+        d, cfg = self.dom, self.cfg
+        assert len(trace_rows) == d.T
+        field = FiniteField()
+        fs = FiatShamir()
+        stream = ProofStream()
+
+        # 1. trace columns -> coefficients -> LDE on the coset  [device]
+        cols = np.array(trace_rows, dtype=np.uint64).T % P       # (c, T)
+        coeffs = NTT.intt(cols.astype(np.uint32))
+        trace_lde = NTT.lde(coeffs, cfg.blowup, d.offset)        # (c, N)
+
+        # 2. commit trace
+        digests = HB.digests_to_bytes(HB.row_hash(trace_lde))
+        trace_tree = MerkleTree.from_leaf_digests(digests)
+        stream.push(MerkleRoot(trace_tree.root))
+        fs.absorb(trace_tree.root.data)
+
+        # 3. constraint-combination challenges
+        n_terms = d.num_transition + len(d.boundary)
+        alphas, betas = _draw_constraint_challenges(fs, field, n_terms)
+
+        # 4. composition codeword  [device]
+        composition = self._compose(trace_lde, alphas, betas)
+
+        # 5. FRI
+        top_indices = self.fri.prove(composition, fs, stream)
+
+        # 6. trace openings at the FRI round-0 query points
+        half = d.N // 2
+        query_points = []
+        for idx in top_indices:
+            a = idx % half
+            query_points.extend([a, a + half])
+        trace_np = np.asarray(trace_lde)
+        for qp in query_points:
+            for k in self.air.frame_offsets:
+                j = (qp + k * cfg.blowup) % d.N
+                stream.push(FieldElements(tuple(int(v) for v in trace_np[:, j])))
+                stream.push(MerklePath(tuple(trace_tree.open(j))))
+
+        return stream.serialize()
+
+    def _compose(self, trace_lde, alphas, betas):
+        d = self.dom
+        frame = {
+            k: [
+                jnp.roll(trace_lde[r], -k * self.cfg.blowup)
+                for r in range(self.air.num_registers)
+            ]
+            for k in self.air.frame_offsets
+        }
+        cons = self.air.transition_constraints(frame, BatchOps)
+        total = jnp.zeros((d.N,), dtype=jnp.uint32)
+        ci = 0
+        for c in cons:
+            q = F.mulmod(F.mulmod(c, self.excl), self.zinv)
+            w = F.addmod(
+                F.mulmod(self.xshift_t, jnp.uint32(alphas[ci])),
+                jnp.uint32(betas[ci]),
+            )
+            total = F.addmod(total, F.mulmod(w, q))
+            ci += 1
+        if d.boundary:
+            denoms = jnp.stack(
+                [
+                    F.submod(self.x_dom, jnp.uint32(pow(d.omega, bc.row, P)))
+                    for bc in d.boundary
+                ]
+            )
+            dinv = F.invmod(denoms)
+            for bi, bc in enumerate(d.boundary):
+                num = F.submod(frame[0][bc.register], jnp.uint32(bc.value % P))
+                q = F.mulmod(num, dinv[bi])
+                w = F.addmod(
+                    F.mulmod(self.xshift_b, jnp.uint32(alphas[ci])),
+                    jnp.uint32(betas[ci]),
+                )
+                total = F.addmod(total, F.mulmod(w, q))
+                ci += 1
+        return total
+
+
+class StarkVerifier:
+    def __init__(self, air: Air, cfg: StarkConfig):
+        self.air = air
+        self.cfg = cfg
+        self.dom = _Domain(cfg, air)
+        d = self.dom
+        self.fri = Fri(
+            omega=d.Omega,
+            offset=d.offset,
+            domain_length=d.N,
+            expansion_factor=cfg.blowup,
+            num_colinearity_tests=cfg.num_colinearity_tests,
+        )
+
+    def verify(self, proof: bytes) -> bool:
+        d, cfg = self.dom, self.cfg
+        field = FiniteField()
+        fs = FiatShamir()
+        stream = ProofStream.deserialize(proof, field)
+
+        obj = stream.pop()
+        if not isinstance(obj, MerkleRoot):
+            print("missing trace commitment")
+            return False
+        trace_root = obj.hash
+        fs.absorb(trace_root.data)
+
+        n_terms = d.num_transition + len(d.boundary)
+        alphas, betas = _draw_constraint_challenges(fs, field, n_terms)
+
+        polynomial_values: list = []
+        if not self.fri.verify(stream, fs, polynomial_values):
+            return False
+
+        # Spot-check composition consistency at every FRI query point.
+        for idx, comp_fe in polynomial_values:
+            trace_rows: dict[int, list[int]] = {}
+            for k in self.air.frame_offsets:
+                j = (idx + k * cfg.blowup) % d.N
+                row_obj = stream.pop()
+                path_obj = stream.pop()
+                if not isinstance(row_obj, FieldElements) or not isinstance(
+                    path_obj, MerklePath
+                ):
+                    print("missing trace opening")
+                    return False
+                values = [fe.value for fe in row_obj.elements]
+                if len(values) != self.air.num_registers:
+                    print("bad trace opening arity")
+                    return False
+                leaf = Hash.from_field_elements(values)
+                if not MerkleTree.verify(leaf, j, list(path_obj.path), trace_root):
+                    print("trace opening fails authentication")
+                    return False
+                trace_rows[k] = values
+            expected = d.composition_value_at(idx, trace_rows, alphas, betas)
+            if comp_fe.value >= P or comp_fe.value != expected:
+                print("composition spot check failed")
+                return False
+        return True

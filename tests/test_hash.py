@@ -1,0 +1,124 @@
+"""Hash tests: reference-contract behavior (hash.rs:101-150 test suite) plus
+scalar-vs-vectorized engine equivalence (the bit-exactness backbone)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from stark_tpu.hashfn import Hash, hash_bytes
+from stark_tpu.ops import hash_batch as HB
+
+RNG = np.random.default_rng(7)
+
+
+class TestScalarHash:
+    def test_deterministic(self):
+        assert Hash.from_bytes(b"hello") == Hash.from_bytes(b"hello")
+
+    def test_different_inputs(self):
+        assert Hash.from_bytes(b"hello") != Hash.from_bytes(b"world")
+
+    def test_avalanche(self):
+        h1 = Hash.from_bytes(b"hello").data
+        h2 = Hash.from_bytes(b"hallo").data
+        diff = sum(1 for a, b in zip(h1, h2) if a != b)
+        assert diff > 10, "Hash should have good avalanche effect"
+
+    def test_from_field_elements(self):
+        h = Hash.from_field_elements([1, 2, 3, 4, 5])
+        assert len(h.data) == 32
+        # LE u64 concat contract (hash.rs:32-35)
+        manual = hash_bytes(b"".join(v.to_bytes(8, "little") for v in [1, 2, 3, 4, 5]))
+        assert h.data == manual
+
+    def test_combine(self):
+        h1 = Hash.from_bytes(b"left")
+        h2 = Hash.from_bytes(b"right")
+        c = Hash.combine(h1, h2)
+        assert c != h1 and c != h2
+        assert c.data == hash_bytes(h1.data + h2.data)
+
+    def test_empty_and_chunk_boundaries(self):
+        # 0, 31, 32, 33, 63, 64, 65 bytes — chunking edges (hash.rs:14)
+        for n in [0, 1, 7, 8, 31, 32, 33, 63, 64, 65, 100]:
+            data = bytes(range(n % 256))[:n] if n <= 256 else bytes(n)
+            h = hash_bytes(data)
+            assert len(h) == 32
+            assert h == hash_bytes(data)  # deterministic
+
+    def test_from_u64_unreduced(self):
+        # from_u64 consumes the RAW value (fri.rs:272 quirk)
+        v = (1 << 63) + 12345
+        assert Hash.from_u64(v).data == hash_bytes(v.to_bytes(8, "little"))
+
+
+class TestBatchedHash:
+    """Device/numpy vectorized engines must be byte-identical to scalar."""
+
+    def test_leaf_hash_matches_scalar(self):
+        values = np.concatenate(
+            [
+                np.array([0, 1, 2, 998244352, 12345678], dtype=np.uint32),
+                RNG.integers(0, 998244353, size=64, dtype=np.uint64).astype(
+                    np.uint32
+                ),
+            ]
+        )
+        want = np.stack(
+            [
+                np.frombuffer(
+                    Hash.from_field_elements([int(v)]).data, dtype=np.uint8
+                )
+                for v in values
+            ]
+        )
+        got_np = HB.digests_to_bytes(HB.leaf_hash_np(values))
+        got_dev = HB.digests_to_bytes(HB.leaf_hash(jnp.asarray(values)))
+        np.testing.assert_array_equal(got_np, want)
+        np.testing.assert_array_equal(got_dev, want)
+
+    def test_row_hash_matches_scalar(self):
+        for c in [1, 2, 3, 4, 5, 8]:
+            values = RNG.integers(0, 998244353, size=(c, 16), dtype=np.uint64).astype(
+                np.uint32
+            )
+            want = np.stack(
+                [
+                    np.frombuffer(
+                        Hash.from_field_elements(
+                            [int(values[r, i]) for r in range(c)]
+                        ).data,
+                        dtype=np.uint8,
+                    )
+                    for i in range(16)
+                ]
+            )
+            got = HB.digests_to_bytes(HB.row_hash(jnp.asarray(values)))
+            np.testing.assert_array_equal(got, want, err_msg=f"c={c}")
+
+    def test_combine_matches_scalar(self):
+        n = 32
+        left = RNG.integers(0, 256, size=(n, 32), dtype=np.uint8)
+        right = RNG.integers(0, 256, size=(n, 32), dtype=np.uint8)
+        want = np.stack(
+            [
+                np.frombuffer(
+                    Hash.combine(
+                        Hash(left[i].tobytes()), Hash(right[i].tobytes())
+                    ).data,
+                    dtype=np.uint8,
+                )
+                for i in range(n)
+            ]
+        )
+        got_dev = HB.digests_to_bytes(
+            HB.combine(
+                jnp.asarray(HB.bytes_to_digests(left)),
+                jnp.asarray(HB.bytes_to_digests(right)),
+            )
+        )
+        got_np = HB.digests_to_bytes(
+            HB.combine_core(np, HB.bytes_to_digests(left), HB.bytes_to_digests(right))
+        )
+        np.testing.assert_array_equal(got_dev, want)
+        np.testing.assert_array_equal(got_np, want)

@@ -1,0 +1,80 @@
+"""End-to-end STARK tests: Fibonacci AIR prove -> serialize -> verify."""
+
+import numpy as np
+import pytest
+
+from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
+from stark_tpu.models.trace import Trace
+from stark_tpu.ops.fieldops import P
+from stark_tpu.stark import StarkConfig, StarkProver, StarkVerifier
+
+
+class TestTrace:
+    def test_fibonacci_reference_contract(self):
+        # trace.rs:36-49: single column, a,b <- b,a+b from (1,1)
+        t = Trace.fibonacci(10)
+        assert t.num_columns == 1
+        assert t.get_col(0) == [1, 1, 2, 3, 5, 8, 13, 21, 34, 55]
+        assert t.get_row(3) == [3]
+        assert t.get(4, 0) == 5
+        assert t.get(100, 0) is None
+
+    def test_to_field_elements_truncates_u64(self):
+        from stark_tpu.field import FiniteField
+
+        t = Trace([[1], [(1 << 64) + 7]])
+        fes = t.to_field_elements(FiniteField())
+        assert fes[1][0].value == 7  # i128 -> u64 cast semantics (trace.rs:32)
+
+    def test_mod_p_trace_satisfies_recurrence(self):
+        rows = fibonacci_trace_mod_p(200)
+        for i in range(198):
+            assert rows[i + 2][0] == (rows[i][0] + rows[i + 1][0]) % P
+
+
+class TestStarkEndToEnd:
+    def run_roundtrip(self, T, blowup=4, tests=8):
+        air = FibonacciAir()
+        cfg = StarkConfig(trace_length=T, blowup=blowup, num_colinearity_tests=tests)
+        trace = fibonacci_trace_mod_p(T)
+        proof = StarkProver(air, cfg).prove(trace)
+        assert StarkVerifier(air, cfg).verify(proof)
+        return proof
+
+    def test_small(self):
+        self.run_roundtrip(64, tests=4)
+
+    def test_1k(self):
+        self.run_roundtrip(1024, tests=8)
+
+    def test_proof_deterministic(self):
+        assert self.run_roundtrip(64, tests=4) == self.run_roundtrip(64, tests=4)
+
+    def test_wrong_witness_rejected(self):
+        air = FibonacciAir()
+        cfg = StarkConfig(trace_length=64, num_colinearity_tests=8)
+        trace = fibonacci_trace_mod_p(64)
+        trace[10][0] = (trace[10][0] + 1) % P  # break the recurrence
+        proof = StarkProver(air, cfg).prove(trace)
+        assert not StarkVerifier(air, cfg).verify(proof)
+
+    def test_wrong_boundary_rejected(self):
+        air = FibonacciAir()
+        cfg = StarkConfig(trace_length=64, num_colinearity_tests=8)
+        rows = [[2]]  # starts 2,2,4,... satisfies recurrence, breaks boundary
+        a, b = 2, 2
+        for _ in range(63):
+            rows.append([b])
+            a, b = b, (a + b) % P
+        proof = StarkProver(air, cfg).prove(rows)
+        assert not StarkVerifier(air, cfg).verify(proof)
+
+    def test_tampered_proof_rejected(self):
+        air = FibonacciAir()
+        cfg = StarkConfig(trace_length=64, num_colinearity_tests=8)
+        proof = StarkProver(air, cfg).prove(fibonacci_trace_mod_p(64))
+        verifier = StarkVerifier(air, cfg)
+        for pos in [5, len(proof) // 3, len(proof) - 10]:
+            bad = bytearray(proof)
+            bad[pos] ^= 0x55
+            assert not verifier.verify(bytes(bad))
