@@ -145,6 +145,11 @@ class Fri:
 
     # -- commit (fri.rs:105-156) -------------------------------------------------
 
+    def build_tree(self, codeword) -> MerkleTree:
+        """Codeword commitment tree; the distributed prover overrides this
+        with the mesh-sharded builder (parallel/pmerkle.py)."""
+        return MerkleTree.from_leaf_values(codeword)
+
     def commit(self, initial_codeword, proof_stream: ProofStream, fiat_shamir):
         """Returns (codewords, trees): the recorded codewords exactly as
         fri.rs:140+151-153 records them, plus their Merkle trees (cached for
@@ -157,7 +162,7 @@ class Fri:
         for r in range(rounds):
             # Leaf vectors are padded to a power of two with zero hashes
             # (fri.rs:123-125) — a no-op here: codeword lengths are pow2.
-            tree = MerkleTree.from_leaf_values(codeword)
+            tree = self.build_tree(codeword)
             root = tree.root
             proof_stream.push(MerkleRoot(root))
             fiat_shamir.absorb(root.data)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -183,6 +184,19 @@ class StarkProver:
             d.N,
             scale=pow(d.offset, d.boundary_shift, P),
         )
+        self._compose_jit = jax.jit(self._compose_impl)
+
+    # -- overridable device-path hooks (the distributed prover re-targets
+    #    these at the mesh-sharded kernels, see parallel/pstark.py) ---------
+
+    def _lde_trace(self, cols):
+        """(c, T) uint32 columns -> (c, N) LDE on the evaluation coset."""
+        coeffs = NTT.intt(cols)
+        return NTT.lde(coeffs, self.cfg.blowup, self.dom.offset)
+
+    def _trace_tree(self, trace_lde) -> MerkleTree:
+        digests = HB.digests_to_bytes(HB.row_hash(trace_lde))
+        return MerkleTree.from_leaf_digests(digests)
 
     def prove(self, trace_rows: list[list[int]]) -> bytes:
         d, cfg = self.dom, self.cfg
@@ -193,12 +207,10 @@ class StarkProver:
 
         # 1. trace columns -> coefficients -> LDE on the coset  [device]
         cols = np.array(trace_rows, dtype=np.uint64).T % P       # (c, T)
-        coeffs = NTT.intt(cols.astype(np.uint32))
-        trace_lde = NTT.lde(coeffs, cfg.blowup, d.offset)        # (c, N)
+        trace_lde = self._lde_trace(cols.astype(np.uint32))      # (c, N)
 
         # 2. commit trace
-        digests = HB.digests_to_bytes(HB.row_hash(trace_lde))
-        trace_tree = MerkleTree.from_leaf_digests(digests)
+        trace_tree = self._trace_tree(trace_lde)
         stream.push(MerkleRoot(trace_tree.root))
         fs.absorb(trace_tree.root.data)
 
@@ -206,8 +218,12 @@ class StarkProver:
         n_terms = d.num_transition + len(d.boundary)
         alphas, betas = _draw_constraint_challenges(fs, field, n_terms)
 
-        # 4. composition codeword  [device]
-        composition = self._compose(trace_lde, alphas, betas)
+        # 4. composition codeword  [device, one fused jit]
+        composition = self._compose_jit(
+            trace_lde,
+            jnp.asarray(alphas, dtype=jnp.uint32),
+            jnp.asarray(betas, dtype=jnp.uint32),
+        )
 
         # 5. FRI
         top_indices = self.fri.prove(composition, fs, stream)
@@ -227,7 +243,12 @@ class StarkProver:
 
         return stream.serialize()
 
-    def _compose(self, trace_lde, alphas, betas):
+    def _compose_impl(self, trace_lde, alphas, betas):
+        """Composition codeword: pointwise over the coset, fully fuseable.
+
+        alphas/betas are (n_terms,) uint32 arrays (reduced challenges);
+        indexing with static term counters keeps the graph unrolled.
+        """
         d = self.dom
         frame = {
             k: [
@@ -241,10 +262,7 @@ class StarkProver:
         ci = 0
         for c in cons:
             q = F.mulmod(F.mulmod(c, self.excl), self.zinv)
-            w = F.addmod(
-                F.mulmod(self.xshift_t, jnp.uint32(alphas[ci])),
-                jnp.uint32(betas[ci]),
-            )
+            w = F.addmod(F.mulmod(self.xshift_t, alphas[ci]), betas[ci])
             total = F.addmod(total, F.mulmod(w, q))
             ci += 1
         if d.boundary:
@@ -258,10 +276,7 @@ class StarkProver:
             for bi, bc in enumerate(d.boundary):
                 num = F.submod(frame[0][bc.register], jnp.uint32(bc.value % P))
                 q = F.mulmod(num, dinv[bi])
-                w = F.addmod(
-                    F.mulmod(self.xshift_b, jnp.uint32(alphas[ci])),
-                    jnp.uint32(betas[ci]),
-                )
+                w = F.addmod(F.mulmod(self.xshift_b, alphas[ci]), betas[ci])
                 total = F.addmod(total, F.mulmod(w, q))
                 ci += 1
         return total
