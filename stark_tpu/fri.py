@@ -219,29 +219,64 @@ class Fri:
 
     def query(
         self,
-        current_codeword: np.ndarray,
-        next_codeword: np.ndarray,
+        current_codeword,
+        next_codeword,
         c_indices: list[int],
         proof_stream: ProofStream,
         current_tree: MerkleTree,
         next_tree: MerkleTree,
     ) -> list[int]:
-        half = len(current_codeword) // 2
+        """Push triples + auth paths (fri.rs:215-248), stream order exact.
+
+        All device reads (query values + both trees' sibling paths) are
+        dispatched first and fetched in ONE device_get — query counts are
+        tiny, so the cost here is host round-trips, not bytes.
+        """
+        half = int(current_codeword.shape[0]) // 2
         a_indices = list(c_indices)
         b_indices = [i + half for i in a_indices]
 
-        for s in range(self.num_colinearity_tests):
+        cur_dev = current_tree.open_batch_dev(a_indices + b_indices)
+        nxt_dev = next_tree.open_batch_dev(c_indices)
+        fetch = [
+            jnp.take(
+                jnp.asarray(current_codeword),
+                jnp.asarray(a_indices + b_indices, dtype=jnp.int32),
+            ),
+            jnp.take(
+                jnp.asarray(next_codeword),
+                jnp.asarray(c_indices, dtype=jnp.int32),
+            ),
+            cur_dev,
+            nxt_dev,
+        ]
+        cur_vals, nxt_vals, cur_sib, nxt_sib = jax.device_get(fetch)
+        k = self.num_colinearity_tests
+        cur_paths = (
+            current_tree.finish_paths(
+                MerkleTree.paths_from_dev(cur_sib), a_indices + b_indices
+            )
+            if cur_sib is not None
+            else current_tree.open_batch(a_indices + b_indices)
+        )
+        nxt_paths = (
+            next_tree.finish_paths(MerkleTree.paths_from_dev(nxt_sib), c_indices)
+            if nxt_sib is not None
+            else next_tree.open_batch(c_indices)
+        )
+
+        for s in range(k):
             triple = (
-                int(current_codeword[a_indices[s]]),
-                int(current_codeword[b_indices[s]]),
-                int(next_codeword[c_indices[s]]),
+                int(cur_vals[s]),
+                int(cur_vals[k + s]),
+                int(nxt_vals[s]),
             )
             proof_stream.push(FieldElements(triple))
 
-        for s in range(self.num_colinearity_tests):
-            proof_stream.push(MerklePath(tuple(current_tree.open(a_indices[s]))))
-            proof_stream.push(MerklePath(tuple(current_tree.open(b_indices[s]))))
-            proof_stream.push(MerklePath(tuple(next_tree.open(c_indices[s]))))
+        for s in range(k):
+            proof_stream.push(MerklePath(tuple(cur_paths[s])))
+            proof_stream.push(MerklePath(tuple(cur_paths[k + s])))
+            proof_stream.push(MerklePath(tuple(nxt_paths[s])))
 
         return a_indices + b_indices
 
@@ -268,12 +303,11 @@ class Fri:
         )
         indices = list(top_level_indices)
 
-        codewords_np = [np.asarray(c) for c in codewords]
         for i in range(len(codewords) - 1):
-            indices = [idx % (codewords_np[i].shape[0] // 2) for idx in indices]
+            indices = [idx % (int(codewords[i].shape[0]) // 2) for idx in indices]
             self.query(
-                codewords_np[i],
-                codewords_np[i + 1],
+                codewords[i],
+                codewords[i + 1],
                 indices,
                 proof_stream,
                 trees[i],

@@ -1,45 +1,79 @@
 """Merkle commitment trees.  Contract: reference src/merkle.rs:4-96.
 
-Two constructors:
+Constructors:
 
 * ``MerkleTree(leaves)`` — from a list of :class:`Hash` leaves, mirroring
-  ``MerkleTree::new`` (merkle.rs:11-38).
-* ``MerkleTree.from_leaf_values(values)`` — the TPU path: leaf hashing and
-  every wide tree level run as batched device ops
-  (:mod:`stark_tpu.ops.hash_batch`); narrow top levels fall back to the
-  numpy engine to avoid per-shape XLA recompiles.  The resulting bytes are
-  identical to the scalar construction.
+  ``MerkleTree::new`` (merkle.rs:11-38).  Host-side.
+* ``MerkleTree.from_leaf_values(values)`` / ``from_leaf_digests`` — the TPU
+  path: leaf hashing and every wide tree level run as batched device ops
+  (:mod:`stark_tpu.ops.hash_batch`, one jit per level width, cached), and
+  the wide levels stay **device resident** — only the narrow top of the
+  tree (width < ``_DEVICE_MIN_WIDTH``) crosses to the host, a one-time
+  ~32 KB transfer that also yields the root.  Authentication paths are
+  extracted with :meth:`open_batch_dev` — a single jitted gather over all
+  device levels for all query indices — because in this deployment a host
+  round-trip costs ~30 ms and bulk device->host bandwidth is scarce, while
+  query counts are tiny (~2-64).
 
-All levels are stored host-side as (width, 32) uint8 arrays so that
-``open`` (sibling-path extraction, merkle.rs:67-80) is a cheap indexed read.
+Level bytes are identical to the scalar construction either way
+(merkle.rs:18-29: pairwise ``Hash::combine`` bottom-up, every level kept).
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
 from stark_tpu.hashfn import Hash
 from stark_tpu.ops import hash_batch as HB
 
-# Below this width a tree level is hashed with the numpy engine (same code,
-# no XLA compile); at or above, on device.
+# Tree levels at least this wide are built and kept on device; narrower
+# levels use the numpy engine (no XLA compile) on host.
 _DEVICE_MIN_WIDTH = 1024
 
 
+@functools.lru_cache(maxsize=None)
+def _open_batch_fn(n: int, n_dev_levels: int, k: int):
+    """Jitted path gather over the device levels: -> (n_dev_levels, k, 32)
+    u8 sibling digests (level-major, bottom-up)."""
+    import jax
+
+    def gather(levels, idx):
+        import jax.numpy as jnp
+
+        out = []
+        for level in levels[:n_dev_levels]:
+            sib = idx ^ 1
+            out.append(level[:, sib].T)  # (k, 32)
+            idx = idx >> 1
+        return jnp.stack(out, axis=0)
+
+    return jax.jit(gather)
+
+
 class MerkleTree:
-    def __init__(self, leaves=None, *, _levels=None):
-        if _levels is not None:
-            self.levels = _levels
-        else:
-            assert leaves is not None and len(leaves) > 0, (
-                "Cannot create tree from empty leaves"
-            )
+    """Hybrid device/host tree.
+
+    ``_dev_levels``: tuple of (32, w) u8 device arrays, widths n .. W_min
+    (may be empty).  ``_top_levels``: list of (w, 32) u8 numpy arrays
+    continuing down to width 1 (always present once built).
+    """
+
+    def __init__(self, leaves=None, *, _dev_levels=(), _top_levels=None):
+        self._dev_levels = tuple(_dev_levels)
+        if leaves is not None:
+            assert len(leaves) > 0, "Cannot create tree from empty leaves"
             n = len(leaves)
             assert n & (n - 1) == 0, "Number of leaves must be power of 2"
             arr = np.frombuffer(
                 b"".join(h.data for h in leaves), dtype=np.uint8
             ).reshape(n, 32)
-            self.levels = _build_levels_from_digest_bytes(arr)
+            self._top_levels = _build_host_levels(arr)
+        else:
+            assert _top_levels is not None
+            self._top_levels = _top_levels
+        self._host_all = None
 
     # -- constructors --------------------------------------------------------
 
@@ -47,40 +81,85 @@ class MerkleTree:
     def from_leaf_values(values) -> "MerkleTree":
         """Build from raw field values: leaf_i = Hash::from_field_elements([v_i]).
 
-        This is the FRI codeword-commitment path (fri.rs:117-128): leaf
-        hashing and tree levels are device-batched.
+        This is the FRI codeword-commitment path (fri.rs:117-128).
         """
-        values = np.asarray(values)
-        n = values.shape[0]
+        n = int(values.shape[0])
         assert n > 0 and n & (n - 1) == 0
-        if n >= _DEVICE_MIN_WIDTH:
-            import jax.numpy as jnp
+        if n < _DEVICE_MIN_WIDTH:
+            digests = HB.digests_to_bytes(HB.leaf_hash_np(np.asarray(values)))
+            return MerkleTree(_top_levels=_build_host_levels(digests))
+        import jax.numpy as jnp
 
-            digests = HB.digests_to_bytes(HB.leaf_hash(jnp.asarray(values)))
-        else:
-            digests = HB.digests_to_bytes(HB.leaf_hash_np(values))
-        return MerkleTree(_levels=_build_levels_from_digest_bytes(digests))
+        return MerkleTree._finish_device(
+            HB.leaf_hash(jnp.asarray(values, dtype=jnp.uint32))
+        )
 
     @staticmethod
-    def from_leaf_digests(digest_bytes: np.ndarray) -> "MerkleTree":
-        """Build from precomputed (N, 32) uint8 leaf digests."""
-        return MerkleTree(_levels=_build_levels_from_digest_bytes(digest_bytes))
+    def from_leaf_digests(digest_bytes) -> "MerkleTree":
+        """Build from precomputed leaf digests: (N, 32) u8 host bytes or a
+        (32, N) u8 device array of digest rows."""
+        if isinstance(digest_bytes, np.ndarray):
+            if digest_bytes.shape[0] < _DEVICE_MIN_WIDTH:
+                return MerkleTree(_top_levels=_build_host_levels(digest_bytes))
+            import jax.numpy as jnp
+
+            return MerkleTree._finish_device(
+                jnp.asarray(HB.bytes_to_digests(digest_bytes))
+            )
+        if digest_bytes.shape[1] < _DEVICE_MIN_WIDTH:
+            return MerkleTree(
+                _top_levels=_build_host_levels(
+                    HB.digests_to_bytes(np.asarray(digest_bytes))
+                )
+            )
+        return MerkleTree._finish_device(digest_bytes)
+
+    @staticmethod
+    def _finish_device(leaf_digest_rows) -> "MerkleTree":
+        """Per-level device combines down to the host/device boundary, then
+        the narrow top on host (one small transfer)."""
+        dev = [leaf_digest_rows]
+        while dev[-1].shape[1] >= 2 * _DEVICE_MIN_WIDTH:
+            dev.append(HB.merkle_level(dev[-1]))
+        boundary = HB.merkle_level(dev[-1])  # width W_min/.. < min*2
+        top = _build_host_levels(HB.digests_to_bytes(np.asarray(boundary)))
+        return MerkleTree(_dev_levels=tuple(dev), _top_levels=top)
+
+    # -- level access --------------------------------------------------------
+
+    @property
+    def levels(self) -> list[np.ndarray]:
+        """All host (w, 32) u8 byte levels, leaf level first (materializes
+        device levels — test/debug use)."""
+        if self._host_all is None:
+            self._host_all = [
+                HB.digests_to_bytes(np.asarray(lv)) for lv in self._dev_levels
+            ] + self._top_levels
+        return self._host_all
+
+    @property
+    def num_leaves(self) -> int:
+        if self._dev_levels:
+            return int(self._dev_levels[0].shape[1])
+        return self._top_levels[0].shape[0]
 
     # -- queries (merkle.rs:40-96) -------------------------------------------
 
     @property
     def root(self) -> Hash:
-        return Hash(self.levels[-1][0].tobytes())
+        return Hash(self._top_levels[-1][0].tobytes())
 
     def get_root(self) -> Hash:
         return self.root
 
-    @property
-    def num_leaves(self) -> int:
-        return self.levels[0].shape[0]
-
     def leaf(self, index: int) -> Hash:
-        return Hash(self.levels[0][index].tobytes())
+        if self._dev_levels:
+            return Hash(
+                np.asarray(self._dev_levels[0][:, index])
+                .astype(np.uint8)
+                .tobytes()
+            )
+        return Hash(self._top_levels[0][index].tobytes())
 
     @staticmethod
     def commit(leaves) -> Hash:
@@ -90,13 +169,59 @@ class MerkleTree:
     def open(self, index: int) -> list[Hash]:
         """Sibling authentication path, bottom-up (merkle.rs:67-80)."""
         assert index < self.num_leaves, "Index out of bounds"
+        if self._dev_levels:
+            return self.open_batch([index])[0]
+        return self._open_top(index)
+
+    def _open_top(self, index: int) -> list[Hash]:
         proof = []
         idx = index
-        for level in self.levels[:-1]:
+        for level in self._top_levels[:-1]:
             sibling = idx + 1 if idx % 2 == 0 else idx - 1
             proof.append(Hash(level[sibling].tobytes()))
             idx //= 2
         return proof
+
+    def open_batch_dev(self, indices: list[int]):
+        """Device-side gather of the device-level portion of every path:
+        (L_dev, k, 32) u8 (un-fetched), or None if the tree is host-only.
+        Combine with :meth:`paths_from_dev` + the host top via
+        :meth:`finish_paths`."""
+        if not self._dev_levels:
+            return None
+        import jax.numpy as jnp
+
+        return _open_batch_fn(self.num_leaves, len(self._dev_levels), len(indices))(
+            self._dev_levels, jnp.asarray(indices, dtype=jnp.int32)
+        )
+
+    @staticmethod
+    def paths_from_dev(sib) -> list[list[Hash]]:
+        """(L_dev, k, 32) u8 (host-fetched) -> per-query bottom-up partial
+        paths (device-levels portion)."""
+        sib = np.asarray(sib).astype(np.uint8)
+        return [
+            [Hash(sib[lvl, q].tobytes()) for lvl in range(sib.shape[0])]
+            for q in range(sib.shape[1])
+        ]
+
+    def finish_paths(
+        self, dev_paths: list[list[Hash]], indices: list[int]
+    ) -> list[list[Hash]]:
+        """Append the host-top portion to fetched device partial paths."""
+        shift = len(self._dev_levels)
+        return [
+            dev_paths[q] + self._open_top(idx >> shift)
+            for q, idx in enumerate(indices)
+        ]
+
+    def open_batch(self, indices: list[int]) -> list[list[Hash]]:
+        """Authentication paths for many indices; on device trees the
+        device portion is ONE jitted gather + one small transfer."""
+        dev = self.open_batch_dev(indices)
+        if dev is None:
+            return [self._open_top(i) for i in indices]
+        return self.finish_paths(MerkleTree.paths_from_dev(dev), indices)
 
     @staticmethod
     def verify(leaf: Hash, index: int, proof: list[Hash], root: Hash) -> bool:
@@ -112,18 +237,12 @@ class MerkleTree:
         return current == root
 
 
-def _build_levels_from_digest_bytes(leaf_bytes: np.ndarray) -> list[np.ndarray]:
-    """Pairwise Hash::combine bottom-up, storing every level (merkle.rs:18-29)."""
+def _build_host_levels(leaf_bytes: np.ndarray) -> list[np.ndarray]:
+    """Pairwise Hash::combine bottom-up with the numpy engine, storing every
+    level (merkle.rs:18-29) as (w, 32) u8."""
     levels = [np.ascontiguousarray(leaf_bytes, dtype=np.uint8)]
     current = HB.bytes_to_digests(levels[0])  # (32, N)
     while current.shape[1] > 1:
-        if current.shape[1] >= _DEVICE_MIN_WIDTH:
-            import jax.numpy as jnp
-
-            nxt = HB.merkle_level(jnp.asarray(current))
-            nxt = np.asarray(nxt, dtype=np.uint32)
-        else:
-            nxt = HB.merkle_level_np(current)
-        levels.append(HB.digests_to_bytes(nxt))
-        current = nxt
+        current = HB.merkle_level_np(current)
+        levels.append(HB.digests_to_bytes(current))
     return levels

@@ -1,16 +1,20 @@
 """Device-vectorized commitment hash: N leaves hashed in parallel.
 
 Bit-exact with the scalar engine (stark_tpu/hashfn.py, itself bit-exact with
-reference src/hash.rs).  The 32-byte state is laid out as a (32, N) uint32
-array — state byte positions along the sublane axis, leaves along the lane
-axis — so every hash step is a full-width VPU op across all leaves:
+reference src/hash.rs).  The 32-byte state is carried as a Python list of 32
+``(N,)`` uint8 rows (mod-256 wrapping IS the hash arithmetic, and int8
+lanes are 4x denser on the VPU) — leaves along the lane axis — so every hash step is a
+full-width VPU op across all leaves AND the whole multi-round computation is
+a single fuseable elementwise chain (no (32, N) stacking, no cumsum: XLA
+fuses the ~1000-op graph into a handful of kernels that read the leaf
+values once and write the 32 digest rows once, which is the HBM
+speed-of-light for this op).
 
-* sbox / XOR-group mixing / round constants: single elementwise ops;
+* sbox / XOR-group mixing / round constants: elementwise per row;
 * the reference's sequential in-place neighbor diffusion (hash.rs:77-81)
-  is algebraically a prefix sum mod 256 and becomes one ``cumsum``;
-* only the absorb XOR-chain (hash.rs:14-23) is inherently sequential —
-  it is unrolled (8 steps per leaf word, 32 per digest chunk), each step
-  still vectorized across all N leaves.
+  is an unrolled 31-step add chain over rows (loop-carried but elementwise,
+  so it fuses);
+* the absorb XOR-chain (hash.rs:14-23) is likewise unrolled per byte row.
 
 The same code runs under numpy (for small widths, avoiding per-shape XLA
 compiles at the top of Merkle trees) and jax.numpy (jitted, for the wide
@@ -30,68 +34,77 @@ from stark_tpu.hashfn import PRIMES, ROUND_CONSTANTS
 _MASK8 = 0xFF
 
 
-def _rotl8(xp, x, n: int):
+def _rotl8(x, n: int):
     return ((x << n) | (x >> (8 - n))) & _MASK8
 
 
-def _sbox(xp, x):
+def _sbox(x):
     # hash.rs:88-94 — mul 251 (mod 256), rotl 1, xor 0x63
-    return _rotl8(xp, (x * 251) & _MASK8, 1) ^ 0x63
+    return _rotl8((x * 251) & _MASK8, 1) ^ 0x63
 
 
-def _mix(xp, state):
-    """(32, N) -> (32, N), one mix round (hash.rs:59-86)."""
-    s = _sbox(xp, state)
-    g = s.reshape(8, 4, -1)
-    t0, t1, t2, t3 = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
-    s = xp.stack(
-        [t0 ^ t1 ^ t3, t0 ^ t2 ^ t3, t0 ^ t1 ^ t2, t1 ^ t2 ^ t3], axis=1
-    ).reshape(32, -1)
-    # Neighbor diffusion == prefix sum (see hashfn._mix_state derivation).
-    d = xp.concatenate(
-        [(s[0] + s[1] + s[31])[None], s[1:31] + s[2:32]], axis=0
-    )  # (31, N); values < 3*255*31 << 2^32: safe in uint32
-    new = xp.cumsum(d, axis=0)
-    last = (s[31] + new[0] + new[30])[None]
-    s = xp.concatenate([new, last], axis=0) & _MASK8
-    rc = ROUND_CONSTANTS.astype(np.uint32)[:, None]
-    return (s + rc) & _MASK8
+def _mix_rows(s):
+    """One mix round (hash.rs:59-86) on a list of 32 (N,) rows."""
+    s = [_sbox(r) for r in s]
+    # 4-byte-group XOR mixing (hash.rs:63-75)
+    out = []
+    for g in range(8):
+        t0, t1, t2, t3 = s[4 * g : 4 * g + 4]
+        out += [t0 ^ t1 ^ t3, t0 ^ t2 ^ t3, t0 ^ t1 ^ t2, t1 ^ t2 ^ t3]
+    s = out
+    # Neighbor diffusion (hash.rs:77-81): the reference mutates in place,
+    # i = 0..31: s[i] += s[i+1 mod 32] + s[i-1 wrapping already-updated],
+    # i.e. new[0] = old0+old1+old31; new[i] = new[i-1]+old[i]+old[i+1]
+    # (1<=i<=30); new[31] = old31+new[0]+new[30].  Unrolled; uint8 wrapping
+    # IS the mod-256 the reference applies, so no masking is needed.
+    new = [None] * 32
+    new[0] = s[0] + s[1] + s[31]
+    for i in range(1, 31):
+        new[i] = new[i - 1] + s[i] + s[i + 1]
+    new[31] = s[31] + new[0] + new[30]
+    # Round constants (hash.rs:83-85), wrapping add
+    rc = ROUND_CONSTANTS
+    return [(new[i] + int(rc[i])) & _MASK8 for i in range(32)]
 
 
-def _init_state(xp, n, dtype):
-    init = np.tile(PRIMES, 2).astype(np.uint32)  # hash.rs:10-12
-    return xp.broadcast_to(xp.asarray(init, dtype=dtype)[:, None], (32, n))
+def _init_rows(xp, n):
+    init = np.tile(PRIMES, 2)  # hash.rs:10-12
+    return [xp.full((n,), int(init[i]), dtype=np.uint8) for i in range(32)]
 
 
-def _absorb_rows(xp, state, rows):
+def _absorb_rows(s, rows):
     """Absorb one <=32-byte chunk given as a list of (N,) byte rows.
 
-    Unrolled hash.rs:14-23: state rows are kept as a Python list so each
-    sequential step is a pure (N,)-vector op with no scatter.
+    Unrolled hash.rs:14-23; each sequential step is a pure (N,)-vector op.
     """
-    s = [state[i] for i in range(32)]
+    s = list(s)
     for i, byte in enumerate(rows):
-        s[i] = _rotl8(xp, (s[i] + byte) & _MASK8, 3)
+        s[i] = _rotl8((s[i] + byte) & _MASK8, 3)
         s[(i + 7) % 32] = s[(i + 7) % 32] ^ s[i]
-    return xp.stack(s, axis=0)
+    return s
 
 
-def _leaf_rows(xp, values):
-    """8 LE byte rows of u64(values); values are reduced (< p < 2^32), so the
-    top four bytes are zero — matching Hash::from_field_elements of a single
-    value (hash.rs:32-35)."""
-    v = values.astype(jnp.uint32) if xp is jnp else values.astype(np.uint32)
-    zero = xp.zeros_like(v)
+def _value_rows(values):
+    """8 LE byte rows of u64(values) as uint8; values are reduced
+    (< p < 2^32), so the top four bytes are zero — matching
+    Hash::from_field_elements of a single value (hash.rs:32-35)."""
+    v = values
+    b = np.uint8 if isinstance(v, np.ndarray) else jnp.uint8
+    zero = (v & 0).astype(b)
     return [
-        v & _MASK8,
-        (v >> 8) & _MASK8,
-        (v >> 16) & _MASK8,
-        (v >> 24) & _MASK8,
+        (v & _MASK8).astype(b),
+        ((v >> 8) & _MASK8).astype(b),
+        ((v >> 16) & _MASK8).astype(b),
+        ((v >> 24) & _MASK8).astype(b),
         zero,
         zero,
         zero,
         zero,
     ]
+
+
+def _stack(xp, rows):
+    return xp.stack(rows, axis=0)
 
 
 def leaf_hash_core(xp, values):
@@ -100,12 +113,12 @@ def leaf_hash_core(xp, values):
     Equals Hash::from_field_elements(&[v]) per leaf: one 8-byte chunk,
     one mix, then 8 final mixes (hash.rs:7-30).
     """
-    dtype = values.dtype
-    state = _init_state(xp, values.shape[0], dtype)
-    state = _absorb_rows(xp, state, _leaf_rows(xp, values))
+    values = values.astype(np.uint32) if xp is np else values
+    state = _init_rows(xp, values.shape[0])
+    state = _absorb_rows(state, _value_rows(values))
     for _ in range(1 + 8):
-        state = _mix(xp, state)
-    return state
+        state = _mix_rows(state)
+    return _stack(xp, state)
 
 
 def combine_core(xp, left, right):
@@ -114,13 +127,13 @@ def combine_core(xp, left, right):
     Equals Hash::combine per lane: 64-byte input = two 32-byte chunks,
     mix after each, plus 8 final mixes (hash.rs:41-46 + 7-30).
     """
-    state = _init_state(xp, left.shape[1], left.dtype)
-    state = _absorb_rows(xp, state, [left[i] for i in range(32)])
-    state = _mix(xp, state)
-    state = _absorb_rows(xp, state, [right[i] for i in range(32)])
+    state = _init_rows(xp, left.shape[1])
+    state = _absorb_rows(state, [left[i] for i in range(32)])
+    state = _mix_rows(state)
+    state = _absorb_rows(state, [right[i] for i in range(32)])
     for _ in range(1 + 8):
-        state = _mix(xp, state)
-    return state
+        state = _mix_rows(state)
+    return _stack(xp, state)
 
 
 def row_hash_core(xp, values):
@@ -131,17 +144,16 @@ def row_hash_core(xp, values):
     chunk, plus 8 final mixes (hash.rs:7-35).
     """
     c, n = values.shape
-    dtype = values.dtype
     byte_rows = []
     for r in range(c):
-        byte_rows.extend(_leaf_rows(xp, values[r]))
-    state = _init_state(xp, n, dtype)
+        byte_rows.extend(_value_rows(values[r]))
+    state = _init_rows(xp, n)
     for start in range(0, len(byte_rows), 32):
-        state = _absorb_rows(xp, state, byte_rows[start : start + 32])
-        state = _mix(xp, state)
+        state = _absorb_rows(state, byte_rows[start : start + 32])
+        state = _mix_rows(state)
     for _ in range(8):
-        state = _mix(xp, state)
-    return state
+        state = _mix_rows(state)
+    return _stack(xp, state)
 
 
 # -- jitted device entry points --------------------------------------------
@@ -166,10 +178,10 @@ def leaf_hash_np(values: np.ndarray) -> np.ndarray:
 
 
 def digests_to_bytes(digests) -> np.ndarray:
-    """(32, N) uint32 byte-value digests -> (N, 32) uint8 array."""
-    return np.asarray(digests, dtype=np.uint32).astype(np.uint8).T.copy()
+    """(32, N) uint8 digest rows -> (N, 32) uint8 array."""
+    return np.ascontiguousarray(np.asarray(digests).astype(np.uint8).T)
 
 
 def bytes_to_digests(arr: np.ndarray):
-    """(N, 32) uint8 -> (32, N) uint32."""
-    return arr.astype(np.uint32).T.copy()
+    """(N, 32) uint8 -> (32, N) uint8 digest rows."""
+    return np.ascontiguousarray(arr.astype(np.uint8).T)

@@ -195,8 +195,9 @@ class StarkProver:
         return NTT.lde(coeffs, self.cfg.blowup, self.dom.offset)
 
     def _trace_tree(self, trace_lde) -> MerkleTree:
-        digests = HB.digests_to_bytes(HB.row_hash(trace_lde))
-        return MerkleTree.from_leaf_digests(digests)
+        # Device-resident build: row digests and all levels stay on device;
+        # only the root crosses to host here.
+        return MerkleTree.from_leaf_digests(HB.row_hash(trace_lde))
 
     def prove(self, trace_rows: list[list[int]]) -> bytes:
         d, cfg = self.dom, self.cfg
@@ -228,18 +229,31 @@ class StarkProver:
         # 5. FRI
         top_indices = self.fri.prove(composition, fs, stream)
 
-        # 6. trace openings at the FRI round-0 query points
+        # 6. trace openings at the FRI round-0 query points — all values and
+        # auth paths gathered on device, fetched in one device_get.
         half = d.N // 2
         query_points = []
         for idx in top_indices:
             a = idx % half
             query_points.extend([a, a + half])
-        trace_np = np.asarray(trace_lde)
-        for qp in query_points:
-            for k in self.air.frame_offsets:
-                j = (qp + k * cfg.blowup) % d.N
-                stream.push(FieldElements(tuple(int(v) for v in trace_np[:, j])))
-                stream.push(MerklePath(tuple(trace_tree.open(j))))
+        cols_idx = [
+            (qp + k * cfg.blowup) % d.N
+            for qp in query_points
+            for k in self.air.frame_offsets
+        ]
+        vals_dev = jnp.take(
+            jnp.asarray(trace_lde), jnp.asarray(cols_idx, dtype=jnp.int32), axis=1
+        )
+        sib_dev = trace_tree.open_batch_dev(cols_idx)
+        vals, sib = jax.device_get([vals_dev, sib_dev])
+        paths = (
+            trace_tree.finish_paths(MerkleTree.paths_from_dev(sib), cols_idx)
+            if sib is not None
+            else trace_tree.open_batch(cols_idx)
+        )
+        for t in range(len(cols_idx)):
+            stream.push(FieldElements(tuple(int(v) for v in vals[:, t])))
+            stream.push(MerklePath(tuple(paths[t])))
 
         return stream.serialize()
 
