@@ -202,6 +202,10 @@ class Fri:
             "cannot sample more indices than available in last codeword; "
             f"requested: {number}, available: {reduced_size}"
         )
+        from stark_tpu import native
+
+        if native.AVAILABLE:
+            return native.sample_indices(seed, size, reduced_size, number)
         indices: list[int] = []
         reduced: list[int] = []
         counter = 0

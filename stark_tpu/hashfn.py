@@ -76,8 +76,8 @@ def _mix_state(state: np.ndarray) -> np.ndarray:
     return ((s + ROUND_CONSTANTS) & 0xFF).astype(np.uint8)
 
 
-def hash_bytes(data: bytes) -> bytes:
-    """32-byte digest; bit-exact contract with hash.rs:7-30."""
+def _hash_bytes_py(data: bytes) -> bytes:
+    """32-byte digest; bit-exact contract with hash.rs:7-30 (numpy engine)."""
     state = _INIT_STATE.copy()
     buf = np.frombuffer(data, dtype=np.uint8)
     for start in range(0, len(buf), 32):
@@ -92,6 +92,20 @@ def hash_bytes(data: bytes) -> bytes:
     for _ in range(8):
         state = _mix_state(state)
     return state.tobytes()
+
+
+# The native C engine (stark_tpu/native/hash.c) is the default host path —
+# the reference's host hashing is native too; the numpy engine above is the
+# compiler-free fallback and the cross-check oracle (tests assert equality).
+try:
+    from stark_tpu import native as _native
+except Exception:  # pragma: no cover - import robustness
+    _native = None
+
+if _native is not None and _native.AVAILABLE:
+    hash_bytes = _native.hash_bytes
+else:
+    hash_bytes = _hash_bytes_py
 
 
 @dataclass(frozen=True)

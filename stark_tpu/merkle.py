@@ -226,6 +226,12 @@ class MerkleTree:
     @staticmethod
     def verify(leaf: Hash, index: int, proof: list[Hash], root: Hash) -> bool:
         """Refold by index parity (merkle.rs:82-96)."""
+        from stark_tpu import native
+
+        if native.AVAILABLE:
+            return native.merkle_verify(
+                leaf.data, index, [h.data for h in proof], root.data
+            )
         current = leaf
         idx = index
         for sibling in proof:

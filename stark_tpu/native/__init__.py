@@ -1,0 +1,120 @@
+"""ctypes bindings for the native host engine (see hash.c).
+
+The library is compiled lazily on first import (cc -O3, cached next to the
+source; rebuilt when the source is newer).  Every entry point has a pure
+Python/numpy fallback elsewhere in the package, so an environment without a
+C compiler still works — ``AVAILABLE`` tells callers which engine is live.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "hash.c")
+_SO = os.path.join(_HERE, "libstark_host.so")
+
+AVAILABLE = False
+_lib = None
+
+
+def _build() -> bool:
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return True
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return False
+
+
+def _load():
+    global _lib, AVAILABLE
+    try:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+            _SRC
+        ):
+            if not _build():
+                return
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.stark_hash.argtypes = [u8p, ctypes.c_uint64, u8p]
+    lib.stark_hash.restype = None
+    lib.stark_hash_many.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint64, u8p]
+    lib.stark_hash_many.restype = None
+    lib.stark_combine.argtypes = [u8p, u8p, u8p]
+    lib.stark_combine.restype = None
+    lib.stark_challenge.argtypes = [u8p, ctypes.c_uint64]
+    lib.stark_challenge.restype = ctypes.c_uint64
+    lib.stark_sample_indices.argtypes = [
+        u8p,
+        ctypes.c_uint64,
+        ctypes.c_uint64,
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.stark_sample_indices.restype = ctypes.c_int64
+    lib.stark_merkle_verify.argtypes = [
+        u8p,
+        ctypes.c_uint64,
+        u8p,
+        ctypes.c_uint64,
+        u8p,
+    ]
+    lib.stark_merkle_verify.restype = ctypes.c_int
+    _lib = lib
+    AVAILABLE = True
+
+
+_load()
+
+
+def _u8(b: bytes):
+    return ctypes.cast(ctypes.create_string_buffer(b, len(b)), ctypes.POINTER(ctypes.c_uint8))
+
+
+def hash_bytes(data: bytes) -> bytes:
+    out = (ctypes.c_uint8 * 32)()
+    _lib.stark_hash(_u8(data), len(data), out)
+    return bytes(out)
+
+
+def combine(left: bytes, right: bytes) -> bytes:
+    out = (ctypes.c_uint8 * 32)()
+    _lib.stark_combine(_u8(left), _u8(right), out)
+    return bytes(out)
+
+
+def challenge(transcript: bytes) -> int:
+    return int(_lib.stark_challenge(_u8(transcript), len(transcript)))
+
+
+def sample_indices(
+    seed: bytes, size: int, reduced_size: int, number: int
+) -> list[int]:
+    out = (ctypes.c_uint64 * number)()
+    rc = _lib.stark_sample_indices(_u8(seed), size, reduced_size, number, out)
+    if rc < 0:
+        raise AssertionError(
+            "cannot sample more indices than available in last codeword; "
+            f"requested: {number}, available: {reduced_size}"
+        )
+    return list(out)
+
+
+def merkle_verify(leaf: bytes, index: int, path: list[bytes], root: bytes) -> bool:
+    flat = b"".join(path)
+    return bool(
+        _lib.stark_merkle_verify(
+            _u8(leaf), index, _u8(flat), len(path), _u8(root)
+        )
+    )
