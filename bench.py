@@ -85,6 +85,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from stark_tpu.ops import ntt as NTT
+    from stark_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     rng = np.random.default_rng(42)
     x = rng.integers(0, PRIME, size=N_NTT, dtype=np.uint32)

@@ -19,7 +19,7 @@ from stark_tpu.hashfn import Hash
 from stark_tpu.merkle import MerkleTree
 from stark_tpu.transcript import FiatShamir
 from stark_tpu.stream import ProofObject, ProofStream
-from stark_tpu.fri import Fri
+from stark_tpu.fri import Fri, FriProof, QueryData
 from stark_tpu.models.trace import Trace
 from stark_tpu.stark import StarkConfig, StarkProver, StarkVerifier
 
@@ -36,6 +36,8 @@ __all__ = [
     "ProofObject",
     "ProofStream",
     "Fri",
+    "FriProof",
+    "QueryData",
     "Trace",
     "StarkConfig",
     "StarkProver",

@@ -1,0 +1,109 @@
+"""Command-line entry point: ``python -m stark_tpu <command>``.
+
+``demo`` reproduces the reference binary's behavior (reference
+src/main.rs:8-14: construct the field, an 8th primitive root, an empty
+polynomial, print them); ``prove``/``verify``/``bench`` expose the full
+pipeline the reference never wired up.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _demo(_args) -> int:
+    from stark_tpu import FiniteField, Polynomial
+
+    field = FiniteField()
+    omega = field.prim_nth_root(8)
+    poly = Polynomial([], field)
+    print(f"field: F_p, p = {field.modulus()}")
+    print(f"8th primitive root of unity: {omega.value}")
+    print(f"empty polynomial: {poly!r}")
+    return 0
+
+
+def _prove(args) -> int:
+    from stark_tpu import StarkConfig, StarkProver
+    from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
+    from stark_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = StarkConfig(
+        trace_length=args.trace_length,
+        blowup=args.blowup,
+        num_colinearity_tests=args.queries,
+    )
+    air = FibonacciAir()
+    trace = fibonacci_trace_mod_p(args.trace_length)
+    prover = StarkProver(air, cfg)
+    t0 = time.time()
+    proof = prover.prove(trace)
+    dt = time.time() - t0
+    with open(args.out, "wb") as f:
+        f.write(proof)
+    print(
+        f"proved {args.trace_length}-row Fibonacci trace in {dt:.2f}s "
+        f"-> {args.out} ({len(proof)} bytes)"
+    )
+    return 0
+
+
+def _verify(args) -> int:
+    from stark_tpu import StarkConfig, StarkVerifier
+    from stark_tpu.models.fibonacci import FibonacciAir
+
+    cfg = StarkConfig(
+        trace_length=args.trace_length,
+        blowup=args.blowup,
+        num_colinearity_tests=args.queries,
+    )
+    proof = open(args.proof, "rb").read()
+    t0 = time.time()
+    ok = StarkVerifier(FibonacciAir(), cfg).verify(proof)
+    dt = time.time() - t0
+    print(f"verify: {'ACCEPT' if ok else 'REJECT'} in {dt:.3f}s")
+    return 0 if ok else 1
+
+
+def _bench(_args) -> int:
+    import runpy
+    import os
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+        run_name="__main__",
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="stark_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("demo", help="reference main.rs parity demo")
+
+    pp = sub.add_parser("prove", help="prove a Fibonacci trace")
+    pp.add_argument("--trace-length", type=int, default=1024)
+    pp.add_argument("--blowup", type=int, default=4)
+    pp.add_argument("--queries", type=int, default=16)
+    pp.add_argument("--out", default="proof.bin")
+
+    pv = sub.add_parser("verify", help="verify a proof file")
+    pv.add_argument("proof")
+    pv.add_argument("--trace-length", type=int, default=1024)
+    pv.add_argument("--blowup", type=int, default=4)
+    pv.add_argument("--queries", type=int, default=16)
+
+    sub.add_parser("bench", help="run the benchmark harness")
+
+    args = p.parse_args(argv)
+    return {"demo": _demo, "prove": _prove, "verify": _verify, "bench": _bench}[
+        args.cmd
+    ](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -25,6 +25,7 @@ power-of-two codewords).
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,27 @@ from stark_tpu.stream import (
     MerkleRoot,
     ProofStream,
 )
+from stark_tpu.utils.profiling import reason
+
+
+@dataclass
+class QueryData:
+    """API-parity struct (reference fri.rs:23-27 — declared there but never
+    constructed; the real proof artifact is the ProofStream)."""
+
+    indices: list
+    values: list
+    paths: list
+
+
+@dataclass
+class FriProof:
+    """API-parity struct (reference fri.rs:17-21 — declared there but never
+    constructed; the real proof artifact is the ProofStream)."""
+
+    commitments: list
+    queries: list
+    final_polynomial: object | None = None
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -338,7 +360,7 @@ class Fri:
         for _ in range(rounds):
             obj = proof_stream.pop()
             if not isinstance(obj, MerkleRoot):
-                print("Failed to extract Merkle root")
+                reason("missing_root", "Failed to extract Merkle root")
                 return False
             roots.append(obj.hash)
             fiat_shamir.absorb(obj.hash.data)
@@ -346,12 +368,12 @@ class Fri:
 
         obj = proof_stream.pop()
         if not isinstance(obj, FieldElements):
-            print("Failed to extract last codeword")
+            reason("missing_last_codeword", "Failed to extract last codeword")
             return False
         last_codeword = [fe.value for fe in obj.elements]
 
         if not roots:
-            print("No FRI roots extracted")
+            reason("no_roots", "No FRI roots extracted")
             return False
         # Leaves hash the RAW u64 wire value (fri.rs:349-352); honest values
         # are reduced and take the batched device path.
@@ -364,7 +386,7 @@ class Fri:
                 np.array(last_codeword, dtype=np.uint32)
             )
         if roots[-1] != last_tree.root:
-            print("last codeword is not well formed")
+            reason("last_codeword_malformed", "last codeword is not well formed")
             return False
 
         # Low-degree check (fri.rs:360-397) via coset iNTT (the last domain is
@@ -372,7 +394,7 @@ class Fri:
         # reference's O(n^3) Lagrange — same unique interpolant.
         degree_bound = len(last_codeword) // self.expansion_factor
         if degree_bound == 0:
-            print("last codeword too small")
+            reason("last_codeword_too_small", "last codeword too small")
             return False
         degree = degree_bound - 1
         last_omega, last_offset = omega, offset
@@ -385,7 +407,7 @@ class Fri:
         if pow(last_omega, n_last, P) != 1 or (
             n_last > 1 and pow(last_omega, n_last // 2, P) == 1
         ):
-            print("last omega has wrong order")
+            reason("bad_last_omega", "last omega has wrong order")
             return False
         vals = np.array([v % P for v in last_codeword], dtype=np.uint32)
         coeffs = np.asarray(NTT.coset_interp(vals, last_offset))
@@ -393,16 +415,19 @@ class Fri:
         # The reference compares FieldElements by RAW value (ff.rs:50-58):
         # a wire value >= p can never equal the (canonical) re-evaluation.
         if any(v >= P for v in last_codeword) or not np.array_equal(re_eval, vals):
-            print("re-evaluated codeword does not match original!")
+            reason("reeval_mismatch", "re-evaluated codeword does not match original!")
             return False
         observed_degree = -1
         for i, c in enumerate(coeffs):
             if int(c) != 0:
                 observed_degree = i
         if observed_degree > degree:
-            print("last codeword does not correspond to polynomial of low enough degree")
-            print(f"observed degree: {observed_degree}")
-            print(f"but should be: {degree}")
+            reason(
+                "degree_too_high",
+                "last codeword does not correspond to polynomial of low "
+                f"enough degree (observed degree: {observed_degree}, "
+                f"but should be: {degree})",
+            )
             return False
 
         # Index resampling (fri.rs:400-405) — seed from RAW challenge.
@@ -424,10 +449,10 @@ class Fri:
             for s in range(self.num_colinearity_tests):
                 obj = proof_stream.pop()
                 if not isinstance(obj, FieldElements):
-                    print("Failed to extract triple values")
+                    reason("missing_triple", "Failed to extract triple values")
                     return False
                 if len(obj.elements) != 3:
-                    print("Expected triple of values")
+                    reason("bad_triple_arity", "Expected triple of values")
                     return False
                 ay, by, cy = (fe.value for fe in obj.elements)
                 aa.append(ay)
@@ -442,7 +467,7 @@ class Fri:
                 bx = (offset * pow(omega, b_indices[s], P)) % P
                 cx = alphas[r]  # raw u64 — colinearity math reduces per-op
                 if not _test_colinearity_scalar((ax, ay), (bx, by), (cx, cy)):
-                    print("colinearity check failure")
+                    reason("colinearity", "colinearity check failure")
                     return False
 
             for i in range(self.num_colinearity_tests):
@@ -453,13 +478,14 @@ class Fri:
                 ):
                     obj = proof_stream.pop()
                     if not isinstance(obj, MerklePath):
-                        print(f"Failed to extract path for {label}")
+                        reason("missing_path", f"Failed to extract path for {label}")
                         return False
                     leaf = Hash.from_field_elements([val])
                     if not MerkleTree.verify(leaf, idx, list(obj.path), root):
-                        print(
+                        reason(
+                            "path_verify",
                             "merkle authentication path verification fails "
-                            f"for {label}"
+                            f"for {label}",
                         )
                         return False
 

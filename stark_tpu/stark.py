@@ -47,6 +47,7 @@ from stark_tpu.ops import ntt as NTT
 from stark_tpu.ops.fieldops import GENERATOR, P, primitive_nth_root
 from stark_tpu.stream import FieldElements, MerklePath, MerkleRoot, ProofStream
 from stark_tpu.transcript import FiatShamir
+from stark_tpu.utils.profiling import reason
 
 
 @dataclass(frozen=True)
@@ -318,7 +319,7 @@ class StarkVerifier:
 
         obj = stream.pop()
         if not isinstance(obj, MerkleRoot):
-            print("missing trace commitment")
+            reason("missing_trace_root", "missing trace commitment")
             return False
         trace_root = obj.hash
         fs.absorb(trace_root.data)
@@ -340,19 +341,19 @@ class StarkVerifier:
                 if not isinstance(row_obj, FieldElements) or not isinstance(
                     path_obj, MerklePath
                 ):
-                    print("missing trace opening")
+                    reason("missing_trace_opening", "missing trace opening")
                     return False
                 values = [fe.value for fe in row_obj.elements]
                 if len(values) != self.air.num_registers:
-                    print("bad trace opening arity")
+                    reason("bad_opening_arity", "bad trace opening arity")
                     return False
                 leaf = Hash.from_field_elements(values)
                 if not MerkleTree.verify(leaf, j, list(path_obj.path), trace_root):
-                    print("trace opening fails authentication")
+                    reason("trace_path_verify", "trace opening fails authentication")
                     return False
                 trace_rows[k] = values
             expected = d.composition_value_at(idx, trace_rows, alphas, betas)
             if comp_fe.value >= P or comp_fe.value != expected:
-                print("composition spot check failed")
+                reason("composition_mismatch", "composition spot check failed")
                 return False
         return True
