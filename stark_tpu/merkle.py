@@ -86,7 +86,13 @@ class MerkleTree:
         n = int(values.shape[0])
         assert n > 0 and n & (n - 1) == 0
         if n < _DEVICE_MIN_WIDTH:
-            digests = HB.digests_to_bytes(HB.leaf_hash_np(np.asarray(values)))
+            from stark_tpu import native
+
+            vals = np.asarray(values)
+            if native.AVAILABLE:
+                digests = native.hash_u64s(vals.astype(np.uint64))
+            else:
+                digests = HB.digests_to_bytes(HB.leaf_hash_np(vals))
             return MerkleTree(_top_levels=_build_host_levels(digests))
         import jax.numpy as jnp
 
@@ -244,8 +250,13 @@ class MerkleTree:
 
 
 def _build_host_levels(leaf_bytes: np.ndarray) -> list[np.ndarray]:
-    """Pairwise Hash::combine bottom-up with the numpy engine, storing every
-    level (merkle.rs:18-29) as (w, 32) u8."""
+    """Pairwise Hash::combine bottom-up, storing every level
+    (merkle.rs:18-29) as (w, 32) u8 — native C engine when available,
+    numpy engine otherwise (identical bytes)."""
+    from stark_tpu import native
+
+    if native.AVAILABLE:
+        return native.merkle_levels(leaf_bytes)
     levels = [np.ascontiguousarray(leaf_bytes, dtype=np.uint8)]
     current = HB.bytes_to_digests(levels[0])  # (32, N)
     while current.shape[1] > 1:

@@ -71,6 +71,14 @@ def _load():
         u8p,
     ]
     lib.stark_merkle_verify.restype = ctypes.c_int
+    lib.stark_hash_u64s.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint64,
+        u8p,
+    ]
+    lib.stark_hash_u64s.restype = None
+    lib.stark_merkle_levels.argtypes = [u8p, ctypes.c_uint64, u8p]
+    lib.stark_merkle_levels.restype = None
     _lib = lib
     AVAILABLE = True
 
@@ -109,6 +117,43 @@ def sample_indices(
             f"requested: {number}, available: {reduced_size}"
         )
     return list(out)
+
+
+def hash_u64s(values) -> "np.ndarray":
+    """(n,) u64 values -> (n, 32) u8 leaf digests."""
+    import numpy as np
+
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    out = np.empty((len(vals), 32), dtype=np.uint8)
+    _lib.stark_hash_u64s(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(vals),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
+
+
+def merkle_levels(leaf_digests) -> list["np.ndarray"]:
+    """(w, 32) u8 leaf digests -> list of (w_l, 32) u8 levels, leaf first."""
+    import numpy as np
+
+    leaves = np.ascontiguousarray(leaf_digests, dtype=np.uint8)
+    w = leaves.shape[0]
+    flat = np.empty((2 * w - 1, 32), dtype=np.uint8)
+    _lib.stark_merkle_levels(
+        leaves.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w,
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    levels = []
+    off = 0
+    while w >= 1:
+        levels.append(flat[off : off + w].copy())
+        off += w
+        if w == 1:
+            break
+        w //= 2
+    return levels
 
 
 def merkle_verify(leaf: bytes, index: int, path: list[bytes], root: bytes) -> bool:

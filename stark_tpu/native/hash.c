@@ -143,6 +143,34 @@ int64_t stark_sample_indices(const uint8_t seed[32], uint64_t size,
   return (int64_t)counter;
 }
 
+/* Leaf digests of u64 values: Hash::from_field_elements(&[v]) per value
+ * (hash.rs:32-39) — 8 LE bytes each. */
+void stark_hash_u64s(const uint64_t *values, uint64_t count, uint8_t *out) {
+  uint64_t i;
+  uint8_t buf[8];
+  for (i = 0; i < count; i++) {
+    uint64_t v = values[i];
+    int b;
+    for (b = 0; b < 8; b++) buf[b] = (uint8_t)(v >> (8 * b));
+    stark_hash(buf, 8, out + 32 * i);
+  }
+}
+
+/* All tree levels bottom-up from w leaf digests (merkle.rs:18-29):
+ * out receives 2w-1 digests — level 0 (w), level 1 (w/2), ..., root. */
+void stark_merkle_levels(const uint8_t *leaves, uint64_t w, uint8_t *out) {
+  uint64_t off = 0, i;
+  memcpy(out, leaves, w * 32);
+  while (w > 1) {
+    const uint8_t *cur = out + off * 32;
+    uint8_t *nxt = out + (off + w) * 32;
+    for (i = 0; i < w / 2; i++)
+      stark_combine(cur + 64 * i, cur + 64 * i + 32, nxt + 32 * i);
+    off += w;
+    w /= 2;
+  }
+}
+
 /* Merkle path verification (merkle.rs:82-96): refold by index parity. */
 int stark_merkle_verify(const uint8_t leaf[32], uint64_t index,
                         const uint8_t *path, uint64_t path_len,

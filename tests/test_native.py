@@ -67,3 +67,29 @@ def test_merkle_verify_roundtrip():
         assert not native.merkle_verify(
             leaves[(i + 1) % 8].data, i, [h.data for h in path], tree.root.data
         )
+
+
+def test_hash_u64s_matches():
+    vals = [0, 1, 998244352, (1 << 40) + 7]
+    out = native.hash_u64s(np.array(vals, dtype=np.uint64))
+    for i, v in enumerate(vals):
+        assert out[i].tobytes() == Hash.from_field_elements([v]).data
+
+
+def test_merkle_levels_matches():
+    from stark_tpu.merkle import MerkleTree
+
+    rng = np.random.default_rng(5)
+    leaves = rng.integers(0, 256, size=(16, 32), dtype=np.uint8)
+    got = native.merkle_levels(leaves)
+    # numpy-engine oracle
+    from stark_tpu.ops import hash_batch as HB
+
+    want = [np.ascontiguousarray(leaves)]
+    cur = HB.bytes_to_digests(leaves)
+    while cur.shape[1] > 1:
+        cur = HB.merkle_level_np(cur)
+        want.append(HB.digests_to_bytes(cur))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b)
