@@ -204,6 +204,14 @@ class Fri:
         trees.append(last_tree)
         return codewords, trees
 
+    def eval_domain(self) -> list[int]:
+        """The evaluation domain {offset * omega^i} (fri.rs:158-166 —
+        a helper the reference declares but prove/verify never call)."""
+        off, w = self.offset % P, self.omega % P
+        return [
+            (off * pow(w, i, P)) % P for i in range(self.domain_length)
+        ]
+
     # -- index sampling (fri.rs:168-213) ----------------------------------------
 
     @staticmethod

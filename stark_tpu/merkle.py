@@ -35,21 +35,40 @@ _DEVICE_MIN_WIDTH = 1024
 
 @functools.lru_cache(maxsize=None)
 def _open_batch_fn(n: int, n_dev_levels: int, k: int):
-    """Jitted path gather over the device levels: -> (n_dev_levels, k, 32)
-    u8 sibling digests (level-major, bottom-up)."""
+    """Jitted path gather over the device levels (row-tuple layout):
+    -> (n_dev_levels, k, 32) u8 sibling digests (level-major, bottom-up)."""
     import jax
 
     def gather(levels, idx):
         import jax.numpy as jnp
 
         out = []
-        for level in levels[:n_dev_levels]:
+        for rows in levels[:n_dev_levels]:
             sib = idx ^ 1
-            out.append(level[:, sib].T)  # (k, 32)
+            digs = jnp.stack(
+                [r[sib // HB.LANE, sib % HB.LANE] for r in rows], axis=1
+            )  # (k, 32)
+            out.append(digs)
             idx = idx >> 1
         return jnp.stack(out, axis=0)
 
     return jax.jit(gather)
+
+
+def _rows_width(rows) -> int:
+    return int(rows[0].shape[0]) * HB.LANE
+
+
+def _rows_to_host_bytes(rows) -> np.ndarray:
+    """Fetched row-tuple -> (w, 32) u8 host bytes."""
+    import jax
+
+    host = jax.device_get(list(rows))
+    return np.ascontiguousarray(
+        np.stack([np.asarray(r).reshape(-1) for r in host], axis=0)
+        .astype(np.uint8)
+        .T
+    )
 
 
 class MerkleTree:
@@ -96,39 +115,41 @@ class MerkleTree:
             return MerkleTree(_top_levels=_build_host_levels(digests))
         import jax.numpy as jnp
 
-        return MerkleTree._finish_device(
-            HB.leaf_hash(jnp.asarray(values, dtype=jnp.uint32))
+        v2d = jnp.asarray(values, dtype=jnp.uint32).reshape(
+            n // HB.LANE, HB.LANE
         )
+        return MerkleTree._finish_device(HB.leaf_hash_rows(v2d))
 
     @staticmethod
     def from_leaf_digests(digest_bytes) -> "MerkleTree":
-        """Build from precomputed leaf digests: (N, 32) u8 host bytes or a
-        (32, N) u8 device array of digest rows."""
+        """Build from precomputed leaf digests: (N, 32) u8 host bytes, a
+        (32, N) u8 device array, or a row-tuple of 32 (N/128, 128) u8."""
         if isinstance(digest_bytes, np.ndarray):
             if digest_bytes.shape[0] < _DEVICE_MIN_WIDTH:
                 return MerkleTree(_top_levels=_build_host_levels(digest_bytes))
-            import jax.numpy as jnp
-
             return MerkleTree._finish_device(
-                jnp.asarray(HB.bytes_to_digests(digest_bytes))
+                HB.stacked_to_rows(HB.bytes_to_digests(digest_bytes))
             )
+        if isinstance(digest_bytes, tuple):
+            return MerkleTree._finish_device(digest_bytes)
         if digest_bytes.shape[1] < _DEVICE_MIN_WIDTH:
             return MerkleTree(
                 _top_levels=_build_host_levels(
                     HB.digests_to_bytes(np.asarray(digest_bytes))
                 )
             )
-        return MerkleTree._finish_device(digest_bytes)
+        return MerkleTree._finish_device(HB.stacked_to_rows(digest_bytes))
 
     @staticmethod
-    def _finish_device(leaf_digest_rows) -> "MerkleTree":
-        """Per-level device combines down to the host/device boundary, then
-        the narrow top on host (one small transfer)."""
-        dev = [leaf_digest_rows]
-        while dev[-1].shape[1] >= 2 * _DEVICE_MIN_WIDTH:
-            dev.append(HB.merkle_level(dev[-1]))
-        boundary = HB.merkle_level(dev[-1])  # width W_min/.. < min*2
-        top = _build_host_levels(HB.digests_to_bytes(np.asarray(boundary)))
+    def _finish_device(leaf_rows) -> "MerkleTree":
+        """Per-level device combines (row-tuple layout) down to the
+        host/device boundary, then the narrow top on host (one small
+        transfer)."""
+        dev = [leaf_rows]
+        while _rows_width(dev[-1]) >= 2 * _DEVICE_MIN_WIDTH:
+            dev.append(HB.level_rows(dev[-1]))
+        boundary = HB.level_rows(dev[-1])  # width W_min/2 .. < W_min
+        top = _build_host_levels(_rows_to_host_bytes(boundary))
         return MerkleTree(_dev_levels=tuple(dev), _top_levels=top)
 
     # -- level access --------------------------------------------------------
@@ -139,14 +160,14 @@ class MerkleTree:
         device levels — test/debug use)."""
         if self._host_all is None:
             self._host_all = [
-                HB.digests_to_bytes(np.asarray(lv)) for lv in self._dev_levels
+                _rows_to_host_bytes(lv) for lv in self._dev_levels
             ] + self._top_levels
         return self._host_all
 
     @property
     def num_leaves(self) -> int:
         if self._dev_levels:
-            return int(self._dev_levels[0].shape[1])
+            return _rows_width(self._dev_levels[0])
         return self._top_levels[0].shape[0]
 
     # -- queries (merkle.rs:40-96) -------------------------------------------
@@ -160,10 +181,12 @@ class MerkleTree:
 
     def leaf(self, index: int) -> Hash:
         if self._dev_levels:
+            rows = self._dev_levels[0]
             return Hash(
-                np.asarray(self._dev_levels[0][:, index])
-                .astype(np.uint8)
-                .tobytes()
+                bytes(
+                    int(np.asarray(r[index // HB.LANE, index % HB.LANE]))
+                    for r in rows
+                )
             )
         return Hash(self._top_levels[0][index].tobytes())
 

@@ -67,9 +67,11 @@ def _mix_rows(s):
     return [(new[i] + int(rc[i])) & _MASK8 for i in range(32)]
 
 
-def _init_rows(xp, n):
+def _init_rows(xp, shape):
+    if isinstance(shape, int):
+        shape = (shape,)
     init = np.tile(PRIMES, 2)  # hash.rs:10-12
-    return [xp.full((n,), int(init[i]), dtype=np.uint8) for i in range(32)]
+    return [xp.full(shape, int(init[i]), dtype=np.uint8) for i in range(32)]
 
 
 def _absorb_rows(s, rows):
@@ -156,7 +158,86 @@ def row_hash_core(xp, values):
     return _stack(xp, state)
 
 
-# -- jitted device entry points --------------------------------------------
+# ---------------------------------------------------------------------------
+# Tile-native digest representation: a tuple of 32 (N/128, 128) u8 arrays.
+#
+# The stacked (32, N) layout is hostile to TPU tiling — every row extraction
+# is a sublane gather, making tree levels ~25x slower than leaf hashing.
+# Carrying each digest byte row as its own (N/128, 128) array keeps every
+# hash step a full-tile elementwise op; a Merkle level's even/odd
+# deinterleave is a cheap lane-strided slice + sublane-merge reshape.
+# Node j's digest byte i lives at rows[i][j // 128, j % 128].
+# ---------------------------------------------------------------------------
+
+LANE = 128
+
+
+def leaf_hash_rows_core(values2d):
+    """(R, 128) uint32 values -> tuple of 32 (R, 128) u8 digest rows."""
+    state = _init_rows(jnp, values2d.shape)
+    state = _absorb_rows(state, _value_rows(values2d))
+    for _ in range(1 + 8):
+        state = _mix_rows(state)
+    return tuple(state)
+
+
+def row_hash_rows_core(cols):
+    """(c, R, 128) uint32 -> tuple of 32 (R, 128) u8 digest rows
+    (leaf j = Hash::from_field_elements of the c values at lane j)."""
+    c = cols.shape[0]
+    byte_rows = []
+    for r in range(c):
+        byte_rows.extend(_value_rows(cols[r]))
+    state = _init_rows(jnp, cols.shape[1:])
+    for start in range(0, len(byte_rows), 32):
+        state = _absorb_rows(state, byte_rows[start : start + 32])
+        state = _mix_rows(state)
+    for _ in range(8):
+        state = _mix_rows(state)
+    return tuple(state)
+
+
+def combine_rows_core(left, right):
+    """Two row-tuples -> combined row-tuple (Hash::combine per lane)."""
+    state = _init_rows(jnp, left[0].shape)
+    state = _absorb_rows(state, list(left))
+    state = _mix_rows(state)
+    state = _absorb_rows(state, list(right))
+    for _ in range(1 + 8):
+        state = _mix_rows(state)
+    return tuple(state)
+
+
+def level_rows_core(rows):
+    """One Merkle level on row-tuples: nodes (R, 128) -> parents (R/2, 128).
+
+    Even/odd deinterleave: pairs (2i, 2i+1) are lane-adjacent; the strided
+    lane slice halves each row to (R, 64) and the reshape merges sublane
+    pairs back to full (R/2, 128) tiles, preserving node order.
+    """
+    R = rows[0].shape[0]
+    left = tuple(r[:, 0::2].reshape(R // 2, LANE) for r in rows)
+    right = tuple(r[:, 1::2].reshape(R // 2, LANE) for r in rows)
+    return combine_rows_core(left, right)
+
+
+def rows_to_stacked(rows):
+    """Row-tuple -> (32, N) u8 (host/compat layout)."""
+    return jnp.stack([r.reshape(-1) for r in rows], axis=0)
+
+
+def stacked_to_rows(digests):
+    """(32, N) u8 -> row-tuple of (N/128, 128)."""
+    n = digests.shape[1]
+    return tuple(digests[i].reshape(n // LANE, LANE) for i in range(32))
+
+
+leaf_hash_rows = jax.jit(leaf_hash_rows_core)
+row_hash_rows = jax.jit(row_hash_rows_core)
+level_rows = jax.jit(level_rows_core)
+
+
+# -- jitted device entry points (stacked (32, N) layout — compat/tests) ----
 
 leaf_hash = jax.jit(functools.partial(leaf_hash_core, jnp))
 row_hash = jax.jit(functools.partial(row_hash_core, jnp))

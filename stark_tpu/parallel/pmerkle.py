@@ -31,58 +31,67 @@ from stark_tpu.ops import hash_batch as HB
 from stark_tpu.parallel.mesh import AXIS
 
 
+_ROW_SPECS = tuple(P(AXIS, None) for _ in range(32))
+
+
 @functools.lru_cache(maxsize=None)
 def _leaf_fn(mesh: Mesh, n: int):
+    def body(v):
+        return HB.leaf_hash_rows_core(v.reshape(-1, HB.LANE))
+
     fn = jax.shard_map(
-        functools.partial(HB.leaf_hash_core, jnp),
-        mesh=mesh,
-        in_specs=(P(AXIS),),
-        out_specs=P(None, AXIS),
+        body, mesh=mesh, in_specs=(P(AXIS),), out_specs=_ROW_SPECS
     )
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=None)
 def _row_leaf_fn(mesh: Mesh, n: int, c: int):
+    def body(cols):
+        return HB.row_hash_rows_core(
+            cols.reshape(cols.shape[0], -1, HB.LANE)
+        )
+
     fn = jax.shard_map(
-        functools.partial(HB.row_hash_core, jnp),
-        mesh=mesh,
-        in_specs=(P(None, AXIS),),
-        out_specs=P(None, AXIS),
+        body, mesh=mesh, in_specs=(P(None, AXIS),), out_specs=_ROW_SPECS
     )
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=None)
 def _level_fn(mesh: Mesh, w: int):
-    """Width-w level -> width-w/2 parents, combining local adjacent pairs."""
-
-    def body(x):
-        return HB.combine_core(jnp, x[:, 0::2], x[:, 1::2])
-
+    """Width-w level -> width-w/2 parents, combining local adjacent pairs
+    (row-tuple layout; pairs are lane-adjacent inside each shard)."""
     fn = jax.shard_map(
-        body, mesh=mesh, in_specs=(P(None, AXIS),), out_specs=P(None, AXIS)
+        HB.level_rows_core,
+        mesh=mesh,
+        in_specs=(_ROW_SPECS,),
+        out_specs=_ROW_SPECS,
     )
     return jax.jit(fn)
 
 
-def _finish_tree(digests, mesh: Mesh) -> MerkleTree:
+def _finish_tree(leaf_rows, mesh: Mesh) -> MerkleTree:
+    from stark_tpu.merkle import _rows_to_host_bytes, _rows_width
+
     D = mesh.devices.size
-    dev = [digests]
-    while (
-        dev[-1].shape[1] > max(D, _DEVICE_MIN_WIDTH)
-        and dev[-1].shape[1] // D >= 2
-    ):
-        dev.append(_level_fn(mesh, int(dev[-1].shape[1]))(dev[-1]))
-    # Narrow top: one small gather, then the numpy engine (bytes identical).
-    top = _build_host_levels(HB.digests_to_bytes(np.asarray(dev[-1])))[1:]
+    dev = [leaf_rows]
+    # Local combines need >= 2 sublane rows per shard: width >= 256*D.
+    while _rows_width(dev[-1]) >= max(2 * HB.LANE * D, 2 * _DEVICE_MIN_WIDTH):
+        dev.append(_level_fn(mesh, _rows_width(dev[-1]))(dev[-1]))
+    # Narrow top: one small gather, then the host engine (bytes identical).
+    top = _build_host_levels(_rows_to_host_bytes(dev[-1]))[1:]
     return MerkleTree(_dev_levels=tuple(dev), _top_levels=top)
 
 
 def sharded_tree_from_values(values, mesh: Mesh) -> MerkleTree:
     """Tree over leaf_i = Hash::from_field_elements([v_i]) (fri.rs:117-128),
-    leaves sharded over the mesh.  Bytes identical to the scalar build."""
+    leaves sharded over the mesh.  Bytes identical to the scalar build.
+    Requires n >= 128*D (a full lane tile per shard)."""
     n = int(values.shape[0])
+    assert n % (HB.LANE * mesh.devices.size) == 0, (
+        f"sharded tree needs 128*D | n (n={n}); use the single-device path"
+    )
     return _finish_tree(_leaf_fn(mesh, n)(values), mesh)
 
 
@@ -90,4 +99,7 @@ def sharded_tree_from_rows(rows, mesh: Mesh) -> MerkleTree:
     """Tree over leaf_j = Hash::from_field_elements(rows[:, j]) — the trace
     commitment path; rows is (c, n) sharded on the lane axis."""
     n = int(rows.shape[1])
+    assert n % (HB.LANE * mesh.devices.size) == 0, (
+        f"sharded tree needs 128*D | n (n={n}); use the single-device path"
+    )
     return _finish_tree(_row_leaf_fn(mesh, n, int(rows.shape[0]))(rows), mesh)

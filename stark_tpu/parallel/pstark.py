@@ -83,6 +83,12 @@ class ShardedFri(Fri):
     def _shardable(self, n: int) -> bool:
         return n % self._D == 0 and n >= self._D * max(self._D, 2)
 
+    def _tree_shardable(self, n: int) -> bool:
+        # Local subtree combines need >= 2 sublane rows per shard.
+        from stark_tpu.ops import hash_batch as HB
+
+        return n % self._D == 0 and n >= 2 * HB.LANE * self._D
+
     def fold_codeword(self, codeword, alpha: int, round_idx: int):
         n = codeword.shape[0]
         if not self._shardable(n // 2):
@@ -99,7 +105,7 @@ class ShardedFri(Fri):
 
     def build_tree(self, codeword) -> MerkleTree:
         n = codeword.shape[0]
-        if self._shardable(n):
+        if self._tree_shardable(n):
             return pmerkle.sharded_tree_from_values(codeword, self.mesh)
         return MerkleTree.from_leaf_values(np.asarray(codeword))
 
@@ -136,9 +142,11 @@ class DistributedStarkProver(StarkProver):
         return pntt.sharded_lde(coeffs, self.cfg.blowup, self.dom.offset, self.mesh)
 
     def _trace_tree(self, trace_lde) -> MerkleTree:
+        from stark_tpu.ops import hash_batch as HB
+
         N = trace_lde.shape[-1]
         D = self.mesh.devices.size
-        if N % D != 0 or N < D * max(D, 2):
+        if N % D != 0 or N < 2 * HB.LANE * D:
             return super()._trace_tree(trace_lde)
         return pmerkle.sharded_tree_from_rows(trace_lde, self.mesh)
 

@@ -196,9 +196,15 @@ class StarkProver:
         return NTT.lde(coeffs, self.cfg.blowup, self.dom.offset)
 
     def _trace_tree(self, trace_lde) -> MerkleTree:
-        # Device-resident build: row digests and all levels stay on device;
-        # only the root crosses to host here.
-        return MerkleTree.from_leaf_digests(HB.row_hash(trace_lde))
+        # Device-resident build: row digests and all levels stay on device
+        # (tile-native row-tuple layout); only the root crosses to host.
+        c, N = trace_lde.shape
+        if N >= 1024:
+            cols3d = jnp.asarray(trace_lde).reshape(c, N // HB.LANE, HB.LANE)
+            return MerkleTree.from_leaf_digests(HB.row_hash_rows(cols3d))
+        return MerkleTree.from_leaf_digests(
+            HB.digests_to_bytes(np.asarray(HB.row_hash(jnp.asarray(trace_lde))))
+        )
 
     def prove(self, trace_rows: list[list[int]]) -> bytes:
         d, cfg = self.dom, self.cfg

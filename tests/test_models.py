@@ -1,0 +1,44 @@
+"""AIR generality: multi-register and degree-2 constraint systems prove and
+verify end-to-end, and cheating witnesses are rejected."""
+
+import pytest
+
+from stark_tpu import StarkConfig, StarkProver, StarkVerifier
+from stark_tpu.models.examples import (
+    SquareAir,
+    TwoRegisterFibonacciAir,
+    square_trace,
+    two_register_fibonacci_trace,
+)
+
+
+@pytest.mark.parametrize(
+    "air_cls,tracer",
+    [
+        (TwoRegisterFibonacciAir, two_register_fibonacci_trace),
+        (SquareAir, square_trace),
+    ],
+)
+def test_prove_verify_roundtrip(air_cls, tracer):
+    cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=4)
+    air = air_cls()
+    proof = StarkProver(air, cfg).prove(tracer(64))
+    assert StarkVerifier(air, cfg).verify(proof)
+
+
+def test_cheating_witness_rejected():
+    cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=8)
+    air = TwoRegisterFibonacciAir()
+    trace = two_register_fibonacci_trace(64)
+    trace[13][1] = (trace[13][1] + 1) % 998244353
+    proof = StarkProver(air, cfg).prove(trace)
+    assert not StarkVerifier(air, cfg).verify(proof)
+
+
+def test_wrong_boundary_rejected():
+    cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=8)
+    air = SquareAir()
+    trace = square_trace(64)
+    trace[0][0] = 5  # boundary says 3
+    proof = StarkProver(air, cfg).prove(trace)
+    assert not StarkVerifier(air, cfg).verify(proof)

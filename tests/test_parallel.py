@@ -68,14 +68,14 @@ class TestShardedMerkle:
         from stark_tpu.merkle import MerkleTree
 
         rng = np.random.default_rng(13)
-        vals = rng.integers(0, PRIME, size=512, dtype=np.uint32)
+        vals = rng.integers(0, PRIME, size=2048, dtype=np.uint32)
         ref = MerkleTree.from_leaf_values(vals)
         tree = pmerkle.sharded_tree_from_values(_shard(vals, mesh), mesh)
         assert tree.root == ref.root
         assert len(tree.levels) == len(ref.levels)
         for a, b in zip(tree.levels, ref.levels):
             assert np.array_equal(a, b)
-        for idx in (0, 255, 511):
+        for idx in (0, 1023, 2047):
             assert tree.open(idx) == ref.open(idx)
 
     def test_row_tree_matches(self, mesh):
@@ -83,9 +83,9 @@ class TestShardedMerkle:
         from stark_tpu.ops import hash_batch as HB
 
         rng = np.random.default_rng(17)
-        rows = rng.integers(0, PRIME, size=(3, 256), dtype=np.uint32)
+        rows = rng.integers(0, PRIME, size=(3, 2048), dtype=np.uint32)
         ref = MerkleTree.from_leaf_digests(
-            HB.digests_to_bytes(HB.row_hash(jnp.asarray(rows)))
+            HB.digests_to_bytes(np.asarray(HB.row_hash(jnp.asarray(rows))))
         )
         tree = pmerkle.sharded_tree_from_rows(_shard(rows, mesh), mesh)
         assert tree.root == ref.root
