@@ -155,6 +155,19 @@ class Fri:
         a_red = alpha % P
         alpha_w = jnp.uint32(a_red)
         alpha_ws = jnp.uint32(int(F.shoup_precompute(a_red)))
+        from stark_tpu.ops import pallas_kernels as PK
+
+        if PK.pallas_enabled() and half >= PK._LANES and half % PK._LANES == 0:
+            scalars = jnp.asarray(
+                [int(a_red), int(F.shoup_precompute(a_red)), _INV2, _INV2_SHOUP],
+                dtype=jnp.uint32,
+            )
+            return PK.fold_pallas(
+                codeword[:half],
+                codeword[half:],
+                self._plan.inv_x_mont[round_idx],
+                scalars,
+            )
         return _fold_kernel(
             codeword[:half],
             codeword[half:],
