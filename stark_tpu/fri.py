@@ -264,28 +264,19 @@ class Fri:
 
     # -- query (fri.rs:215-248) ---------------------------------------------------
 
-    def query(
-        self,
-        current_codeword,
-        next_codeword,
-        c_indices: list[int],
-        proof_stream: ProofStream,
-        current_tree: MerkleTree,
-        next_tree: MerkleTree,
-    ) -> list[int]:
-        """Push triples + auth paths (fri.rs:215-248), stream order exact.
-
-        All device reads (query values + both trees' sibling paths) are
-        dispatched first and fetched in ONE device_get — query counts are
-        tiny, so the cost here is host round-trips, not bytes.
-        """
+    def _query_dispatch(
+        self, current_codeword, next_codeword, c_indices, current_tree, next_tree
+    ):
+        """Launch all device reads for one round's queries (values + both
+        trees' sibling paths) WITHOUT fetching.  Returns (meta, device
+        pytree); rounds are independent, so the prover dispatches every
+        round and fetches everything in one device_get — the cost of the
+        query phase is host round-trips, not bytes."""
         half = int(current_codeword.shape[0]) // 2
         a_indices = list(c_indices)
         b_indices = [i + half for i in a_indices]
-
-        cur_dev = current_tree.open_batch_dev(a_indices + b_indices)
-        nxt_dev = next_tree.open_batch_dev(c_indices)
-        fetch = [
+        meta = (a_indices, b_indices, list(c_indices), current_tree, next_tree)
+        dev = [
             jnp.take(
                 jnp.asarray(current_codeword),
                 jnp.asarray(a_indices + b_indices, dtype=jnp.int32),
@@ -294,10 +285,16 @@ class Fri:
                 jnp.asarray(next_codeword),
                 jnp.asarray(c_indices, dtype=jnp.int32),
             ),
-            cur_dev,
-            nxt_dev,
+            current_tree.open_batch_dev(a_indices + b_indices),
+            next_tree.open_batch_dev(c_indices),
         ]
-        cur_vals, nxt_vals, cur_sib, nxt_sib = jax.device_get(fetch)
+        return meta, dev
+
+    def _query_emit(self, meta, fetched, proof_stream: ProofStream) -> None:
+        """Push one round's triples + auth paths (fri.rs:215-248), stream
+        order exact, from host-fetched gather results."""
+        a_indices, b_indices, c_indices, current_tree, next_tree = meta
+        cur_vals, nxt_vals, cur_sib, nxt_sib = fetched
         k = self.num_colinearity_tests
         cur_paths = (
             current_tree.finish_paths(
@@ -325,7 +322,21 @@ class Fri:
             proof_stream.push(MerklePath(tuple(cur_paths[k + s])))
             proof_stream.push(MerklePath(tuple(nxt_paths[s])))
 
-        return a_indices + b_indices
+    def query(
+        self,
+        current_codeword,
+        next_codeword,
+        c_indices: list[int],
+        proof_stream: ProofStream,
+        current_tree: MerkleTree,
+        next_tree: MerkleTree,
+    ) -> list[int]:
+        """Single-round query (fri.rs:215-248): dispatch + fetch + emit."""
+        meta, dev = self._query_dispatch(
+            current_codeword, next_codeword, c_indices, current_tree, next_tree
+        )
+        self._query_emit(meta, jax.device_get(dev), proof_stream)
+        return meta[0] + meta[1]
 
     # -- prove (fri.rs:250-311) -----------------------------------------------------
 
@@ -350,16 +361,20 @@ class Fri:
         )
         indices = list(top_level_indices)
 
+        # Dispatch every round's gathers, then ONE device_get for all of
+        # them: the per-round reads are independent once the indices are
+        # known, so the whole query phase costs a single host round-trip.
+        metas, devs = [], []
         for i in range(len(codewords) - 1):
             indices = [idx % (int(codewords[i].shape[0]) // 2) for idx in indices]
-            self.query(
-                codewords[i],
-                codewords[i + 1],
-                indices,
-                proof_stream,
-                trees[i],
-                trees[i + 1],
+            meta, dev = self._query_dispatch(
+                codewords[i], codewords[i + 1], indices, trees[i], trees[i + 1]
             )
+            metas.append(meta)
+            devs.append(dev)
+        fetched = jax.device_get(devs)
+        for meta, f in zip(metas, fetched):
+            self._query_emit(meta, f, proof_stream)
 
         return top_level_indices
 

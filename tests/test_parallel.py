@@ -99,8 +99,9 @@ class TestDistributedProver:
         from stark_tpu.parallel.pstark import DistributedStarkProver
 
         air = FibonacciAir()
-        cfg = StarkConfig(trace_length=256, blowup=4, num_colinearity_tests=8)
-        trace = fibonacci_trace_mod_p(256)
+        # N = 2048 = 2*128*D: exercises the sharded-tree path end-to-end.
+        cfg = StarkConfig(trace_length=512, blowup=4, num_colinearity_tests=8)
+        trace = fibonacci_trace_mod_p(512)
         p1 = StarkProver(air, cfg).prove(trace)
         p8 = DistributedStarkProver(air, cfg, mesh).prove(trace)
         assert p1 == p8
