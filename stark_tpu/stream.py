@@ -105,22 +105,25 @@ class ProofStream:
                 if i + 8 <= n:
                     count = int.from_bytes(data[i : i + 8], "little")
                     i += 8
+                    # Clamp iterations to the bytes present: identical parse
+                    # result to the reference's bounds-checked loop, without
+                    # letting a hostile 2^64 count spin the parser (DoS).
+                    count = min(count, (n - i) // 8)
                     fes = []
                     for _ in range(count):
-                        if i + 8 <= n:
-                            val = int.from_bytes(data[i : i + 8], "little")
-                            fes.append(field.new_element(val))
-                            i += 8
+                        val = int.from_bytes(data[i : i + 8], "little")
+                        fes.append(field.new_element(val))
+                        i += 8
                     objects.append(FieldElements(tuple(fes)))
             elif tag == 3:
                 if i + 8 <= n:
                     count = int.from_bytes(data[i : i + 8], "little")
                     i += 8
+                    count = min(count, (n - i) // 32)
                     path = []
                     for _ in range(count):
-                        if i + 32 <= n:
-                            path.append(Hash(data[i : i + 32]))
-                            i += 32
+                        path.append(Hash(data[i : i + 32]))
+                        i += 32
                     objects.append(MerklePath(tuple(path)))
             else:
                 break

@@ -88,3 +88,48 @@ class TestProofStream:
         assert len(ps.objects) == 1
         ps2 = ProofStream.deserialize(good + unknown + good, FIELD)
         assert len(ps2.objects) == 1  # parsing stopped at unknown tag
+
+
+class TestStreamRobustness:
+    """Tolerant deserialization semantics (stream.rs:66-168): truncated
+    items are skipped, an unknown tag ends parsing."""
+
+    def _stream(self):
+        s = ProofStream()
+        s.push(MerkleRoot(Hash(bytes(range(32)))))
+        s.push(FieldElementObj(FIELD.new_element(42)))
+        s.push(FieldElements((FIELD.new_element(1), FIELD.new_element(2))))
+        s.push(MerklePath((Hash(b"\x01" * 32), Hash(b"\x02" * 32))))
+        return s
+
+    def test_truncated_tail_object_skipped(self):
+        data = self._stream().serialize()
+        clipped = ProofStream.deserialize(data[:-5], FIELD)
+        # The final MerklePath loses its last hash; earlier objects survive
+        # intact.  (The leftover bytes of the cut hash keep being parsed as
+        # garbage objects — the reference's loop does the same.)
+        objs = list(clipped.objects)
+        assert len(objs) >= 4
+        assert isinstance(objs[3], MerklePath)
+        assert len(objs[3].path) == 1
+
+    def test_unknown_tag_ends_parsing(self):
+        data = self._stream().serialize()
+        poisoned = data[:33] + b"\xfe" + data[33:]
+        parsed = ProofStream.deserialize(poisoned, FIELD)
+        assert len(parsed) == 1  # only the leading MerkleRoot
+
+    def test_random_garbage_never_crashes(self):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        for _ in range(200):
+            blob = rng.integers(0, 256, size=rng.integers(0, 200)).astype(
+                "uint8"
+            ).tobytes()
+            ProofStream.deserialize(blob, FIELD)  # must not raise
+
+    def test_roundtrip_after_tolerant_parse(self):
+        data = self._stream().serialize()
+        again = ProofStream.deserialize(data, FIELD).serialize()
+        assert again == data
