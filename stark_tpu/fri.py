@@ -81,6 +81,19 @@ def _fold_kernel(a, b, inv_x_mont, alpha_w, alpha_ws, inv2_w, inv2_ws):
     return F.shoup_mul(F.addmod(s, u), inv2_w, inv2_ws)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _fold_kernel_dynamic(a, b, inv_x_mont, alpha_red, inv2_w, inv2_ws):
+    """Fold with a *traced* (device-resident) alpha scalar — used by the
+    device-chained commit, where alpha never visits the host.  Shoup needs
+    a precomputed companion, so alpha multiplies via Montgomery instead:
+    mont_mul(invx * R, alpha) = invx * alpha (standard form)."""
+    s = F.addmod(a, b)
+    d = F.submod(a, b)
+    t = F.mont_mul(inv_x_mont, alpha_red)           # alpha/x mod p
+    u = F.mulmod(t, d)                              # alpha/x * (a-b)
+    return F.shoup_mul(F.addmod(s, u), inv2_w, inv2_ws)
+
+
 class FriPlan:
     """Per-(domain, omega, offset) precomputation: the inverse-x ladders of
     every round, in Montgomery form (offset and omega square per round,
@@ -185,31 +198,112 @@ class Fri:
         with the mesh-sharded builder (parallel/pmerkle.py)."""
         return MerkleTree.from_leaf_values(codeword)
 
+    #: Device-chained commit: trees, roots, challenges and folds stay on
+    #: device with zero per-round host synchronization; the host replays
+    #: the byte-identical transcript from one batched root fetch at the
+    #: end.  Disabled in subclasses whose trees are not full-device.
+    device_chain = True
+
     def commit(self, initial_codeword, proof_stream: ProofStream, fiat_shamir):
         """Returns (codewords, trees): the recorded codewords exactly as
         fri.rs:140+151-153 records them, plus their Merkle trees (cached for
-        the query phase; the reference rebuilds identical trees)."""
+        the query phase; the reference rebuilds identical trees).
+
+        Leaf vectors are padded to a power of two with zero hashes
+        (fri.rs:123-125) — a no-op here: codeword lengths are pow2.
+
+        Two phases: while codewords are device-tree sized, the whole
+        round loop (tree -> root -> challenge -> fold) runs as a device
+        dependency chain with NO host round-trips — the challenge hash runs
+        on device (ops/hash_batch.device_transcript_alpha) and folds take
+        the traced alpha.  The host then fetches all roots at once, replays
+        the transcript byte-exactly (asserting the device alphas agree),
+        and finishes any narrow rounds classically.
+        """
+        from stark_tpu.merkle import _DEVICE_MIN_WIDTH
+
         codeword = jnp.asarray(initial_codeword, dtype=jnp.uint32)
         codewords: list = []
         trees: list = []
         last_tree = None
         rounds = self.num_rounds()
-        for r in range(rounds):
-            # Leaf vectors are padded to a power of two with zero hashes
-            # (fri.rs:123-125) — a no-op here: codeword lengths are pow2.
+        r = 0
+
+        # -- phase 1: device chain ----------------------------------------
+        if self.device_chain:
+            from stark_tpu.ops import hash_batch as HB
+
+            # Seed with whatever the host transcript already holds (e.g.
+            # the STARK layer's trace root + constraint-challenge bytes) —
+            # challenges hash the ENTIRE transcript (fiat_shamir.rs:19-25).
+            prefix = bytes(fiat_shamir.transcript)
+            transcript_dev = (
+                jnp.asarray(np.frombuffer(prefix, dtype=np.uint8))
+                if prefix
+                else None
+            )
+            root_devs: list = []
+            alpha_devs: list = []
+            while (
+                r < rounds and int(codeword.shape[0]) >= _DEVICE_MIN_WIDTH
+            ):
+                tree = MerkleTree.from_leaf_values_full_device(codeword)
+                root_bytes = tree.root_bytes_dev()
+                root_devs.append(root_bytes)
+                transcript_dev = (
+                    root_bytes
+                    if transcript_dev is None
+                    else jnp.concatenate([transcript_dev, root_bytes])
+                )
+                if r == rounds - 1:
+                    last_tree = tree
+                    r += 1
+                    break
+                alpha_red = HB.device_transcript_alpha(transcript_dev)
+                alpha_devs.append(alpha_red)
+                codewords.append(codeword)
+                trees.append(tree)
+                codeword = _fold_kernel_dynamic(
+                    codeword[: codeword.shape[0] // 2],
+                    codeword[codeword.shape[0] // 2 :],
+                    self._plan.inv_x_mont[r],
+                    alpha_red,
+                    jnp.uint32(_INV2),
+                    jnp.uint32(_INV2_SHOUP),
+                )
+                r += 1
+            # One batched fetch for every root (+ device alphas, asserted
+            # against the host transcript replay below).
+            if root_devs:
+                fetched = jax.device_get([root_devs, alpha_devs])
+                roots_host, alphas_host = fetched
+                for i, rb in enumerate(roots_host):
+                    root = Hash(np.asarray(rb).astype(np.uint8).tobytes())
+                    trees_i = trees[i] if i < len(trees) else last_tree
+                    trees_i.set_root(root)
+                    proof_stream.push(MerkleRoot(root))
+                    fiat_shamir.absorb(root.data)
+                    if i < len(alphas_host):
+                        alpha = fiat_shamir.challenge(self.field)
+                        assert int(alphas_host[i]) == alpha.value % P, (
+                            "device/host transcript divergence"
+                        )
+
+        # -- phase 2: classic rounds (narrow codewords) --------------------
+        while r < rounds:
             tree = self.build_tree(codeword)
             root = tree.root
             proof_stream.push(MerkleRoot(root))
             fiat_shamir.absorb(root.data)
-
             if r == rounds - 1:
                 last_tree = tree
+                r += 1
                 break
-
             alpha = fiat_shamir.challenge(self.field)  # pure; unreduced u64
             codewords.append(codeword)
             trees.append(tree)
             codeword = self.fold_codeword(codeword, alpha.value, r)
+            r += 1
 
         last_np = np.asarray(codeword)
         proof_stream.push(FieldElements(tuple(int(v) for v in last_np)))

@@ -56,7 +56,8 @@ def _open_batch_fn(n: int, n_dev_levels: int, k: int):
 
 
 def _rows_width(rows) -> int:
-    return int(rows[0].shape[0]) * HB.LANE
+    # (R, 128) tiles above one lane tile; (1, w) below it.
+    return int(rows[0].shape[0]) * int(rows[0].shape[1])
 
 
 def _rows_to_host_bytes(rows) -> np.ndarray:
@@ -90,9 +91,12 @@ class MerkleTree:
             ).reshape(n, 32)
             self._top_levels = _build_host_levels(arr)
         else:
-            assert _top_levels is not None
+            # _top_levels None with _dev_levels present = FULL-device tree
+            # (all levels incl. the root on device; nothing fetched yet).
+            assert _top_levels is not None or self._dev_levels
             self._top_levels = _top_levels
         self._host_all = None
+        self._root = None
 
     # -- constructors --------------------------------------------------------
 
@@ -152,6 +156,30 @@ class MerkleTree:
         top = _build_host_levels(_rows_to_host_bytes(boundary))
         return MerkleTree(_dev_levels=tuple(dev), _top_levels=top)
 
+    @staticmethod
+    def from_leaf_values_full_device(values) -> "MerkleTree":
+        """ALL levels (including the root) built and kept on device — no
+        host synchronization at all.  Used by the device-chained FRI commit,
+        which consumes the root digest on device (ops/hash_batch.
+        device_transcript_alpha) and fetches every round's root in one
+        batched transfer afterwards."""
+        import jax.numpy as jnp
+
+        n = int(values.shape[0])
+        assert n >= _DEVICE_MIN_WIDTH and n & (n - 1) == 0
+        v2d = jnp.asarray(values, dtype=jnp.uint32).reshape(
+            n // HB.LANE, HB.LANE
+        )
+        dev = [HB.leaf_hash_rows(v2d)]
+        while _rows_width(dev[-1]) > 1:
+            dev.append(HB.level_rows(dev[-1]))
+        return MerkleTree(_dev_levels=tuple(dev))
+
+    def root_bytes_dev(self):
+        """(32,) u8 device root digest (full-device trees only)."""
+        assert self._top_levels is None
+        return HB.root_bytes_from_rows(self._dev_levels[-1])
+
     # -- level access --------------------------------------------------------
 
     @property
@@ -161,7 +189,7 @@ class MerkleTree:
         if self._host_all is None:
             self._host_all = [
                 _rows_to_host_bytes(lv) for lv in self._dev_levels
-            ] + self._top_levels
+            ] + (self._top_levels or [])
         return self._host_all
 
     @property
@@ -174,7 +202,19 @@ class MerkleTree:
 
     @property
     def root(self) -> Hash:
-        return Hash(self._top_levels[-1][0].tobytes())
+        if self._root is None:
+            if self._top_levels is not None:
+                self._root = Hash(self._top_levels[-1][0].tobytes())
+            else:
+                self._root = Hash(
+                    np.asarray(self.root_bytes_dev()).astype(np.uint8).tobytes()
+                )
+        return self._root
+
+    def set_root(self, root: Hash) -> None:
+        """Install a host-known root (fetched in a batch elsewhere) so the
+        lazy property never re-fetches."""
+        self._root = root
 
     def get_root(self) -> Hash:
         return self.root
@@ -220,7 +260,9 @@ class MerkleTree:
             return None
         import jax.numpy as jnp
 
-        return _open_batch_fn(self.num_leaves, len(self._dev_levels), len(indices))(
+        # Full-device trees include the root level, which paths exclude.
+        n_lv = len(self._dev_levels) - (1 if self._top_levels is None else 0)
+        return _open_batch_fn(self.num_leaves, n_lv, len(indices))(
             self._dev_levels, jnp.asarray(indices, dtype=jnp.int32)
         )
 
@@ -237,7 +279,10 @@ class MerkleTree:
     def finish_paths(
         self, dev_paths: list[list[Hash]], indices: list[int]
     ) -> list[list[Hash]]:
-        """Append the host-top portion to fetched device partial paths."""
+        """Append the host-top portion to fetched device partial paths
+        (no-op for full-device trees: the gather already covered them)."""
+        if self._top_levels is None:
+            return dev_paths
         shift = len(self._dev_levels)
         return [
             dev_paths[q] + self._open_top(idx >> shift)

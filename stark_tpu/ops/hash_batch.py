@@ -213,11 +213,16 @@ def level_rows_core(rows):
 
     Even/odd deinterleave: pairs (2i, 2i+1) are lane-adjacent; the strided
     lane slice halves each row to (R, 64) and the reshape merges sublane
-    pairs back to full (R/2, 128) tiles, preserving node order.
+    pairs back to full (R/2, 128) tiles, preserving node order.  Below one
+    full tile (R == 1) the lane axis simply halves: (1, w) -> (1, w/2).
     """
     R = rows[0].shape[0]
-    left = tuple(r[:, 0::2].reshape(R // 2, LANE) for r in rows)
-    right = tuple(r[:, 1::2].reshape(R // 2, LANE) for r in rows)
+    if R == 1:
+        left = tuple(r[:, 0::2] for r in rows)
+        right = tuple(r[:, 1::2] for r in rows)
+    else:
+        left = tuple(r[:, 0::2].reshape(R // 2, LANE) for r in rows)
+        right = tuple(r[:, 1::2].reshape(R // 2, LANE) for r in rows)
     return combine_rows_core(left, right)
 
 
@@ -235,6 +240,59 @@ def stacked_to_rows(digests):
 leaf_hash_rows = jax.jit(leaf_hash_rows_core)
 row_hash_rows = jax.jit(row_hash_rows_core)
 level_rows = jax.jit(level_rows_core)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident transcript hashing (the FRI commit chain).
+#
+# The Fiat-Shamir challenge is H(entire transcript) (fiat_shamir.rs:19-25);
+# during FRI commit the transcript is just the concatenation of the round
+# roots (fri.rs:131 absorbs only roots).  Hashing it ON DEVICE lets the
+# whole commit phase (tree -> root -> challenge -> fold -> next tree) run
+# as a dependency chain with ZERO host synchronization — the host replays
+# the byte-identical transcript afterwards from one batched root fetch.
+# The fold only needs alpha mod p, which fits u32 lanes; the raw-u64
+# challenge quirk (SURVEY 3.6.1) lives exclusively on the host side.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _transcript_alpha_fn(length: int):
+    """Jitted (length,) u8 transcript -> alpha mod p (u32 scalar).
+    Arbitrary length; chunking matches hash.rs:13-27 (partial last chunk
+    absorbed then mixed)."""
+    assert length > 0
+    from stark_tpu.ops import fieldops as F
+    from stark_tpu.ops.fieldops import P
+
+    def fn(transcript):
+        state = _init_rows(jnp, (1,))
+        for c in range(0, length, 32):
+            size = min(32, length - c)
+            chunk = [transcript[c + i].reshape(1) for i in range(size)]
+            state = _absorb_rows(state, chunk)
+            state = _mix_rows(state)
+        for _ in range(8):
+            state = _mix_rows(state)
+        acc = jnp.zeros((1,), jnp.uint32)
+        for i in range(8):
+            term = F.mulmod(
+                state[i].astype(jnp.uint32), jnp.uint32(pow(2, 8 * i, P))
+            )
+            acc = F.addmod(acc, term)
+        return acc[0]
+
+    return jax.jit(fn)
+
+
+def device_transcript_alpha(transcript):
+    """alpha mod p for a device (L,) u8 transcript (no host sync)."""
+    return _transcript_alpha_fn(int(transcript.shape[0]))(transcript)
+
+
+def root_bytes_from_rows(rows):
+    """Width-1 row-tuple (32 x (1, 1)) -> (32,) u8 device root digest."""
+    return jnp.concatenate([r.reshape(1) for r in rows])
 
 
 # -- jitted device entry points (stacked (32, N) layout — compat/tests) ----

@@ -67,6 +67,11 @@ class ShardedFri(Fri):
     Protocol behavior (and bytes) identical to :class:`stark_tpu.fri.Fri`.
     """
 
+    # Sharded trees finish their narrow top on host, so the single-device
+    # zero-sync commit chain does not apply (mesh runs amortize the root
+    # round-trip across D devices anyway).
+    device_chain = False
+
     def __init__(self, *args, mesh: Mesh, **kwargs):
         super().__init__(*args, **kwargs)
         self.mesh = mesh

@@ -19,6 +19,13 @@ _DEFAULT_DIR = os.path.join(
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
+    try:
+        if jax.default_backend() == "cpu":
+            # XLA:CPU persists AOT machine code whose feature flags can
+            # mismatch the loading host (SIGILL risk) — TPU only.
+            return
+    except Exception:
+        return
     path = path or os.environ.get("STARK_TPU_JAX_CACHE", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
     try:

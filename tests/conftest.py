@@ -25,3 +25,10 @@ jax.config.update("jax_platforms", "cpu")
 assert len(jax.devices()) == 8, (
     f"expected 8 virtual CPU devices, got {jax.devices()}"
 )
+
+# Persistent compile cache: the per-width hash/tree graphs dominate test
+# wall time on a cold process; entries are keyed by platform so CPU and
+# TPU runs coexist in the same directory.
+from stark_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()

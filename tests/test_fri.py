@@ -172,3 +172,38 @@ class TestColinearity:
         cxr = cx % P
         y_at = lambda x: (3 * x + 5) % P
         assert _test_colinearity_scalar((1, y_at(1)), (2, y_at(2)), (cx, y_at(cxr)))
+
+
+class TestDeviceChainedCommit:
+    def test_chain_matches_classic_commit(self):
+        """The zero-sync device commit chain must produce byte-identical
+        streams and transcripts to the classic per-round path."""
+        import jax.numpy as jnp
+        from stark_tpu.ops import ntt as NTT
+        from stark_tpu.ops.fieldops import primitive_nth_root
+        from stark_tpu.stream import ProofStream
+        from stark_tpu.transcript import FiatShamir
+
+        n = 4096
+        rng = np.random.default_rng(23)
+        coeffs = np.zeros(n, dtype=np.uint32)
+        coeffs[: n // 4] = rng.integers(0, P, size=n // 4, dtype=np.uint32)
+        codeword = NTT.coset_eval(coeffs, 3)
+
+        def run(chain: bool):
+            fri = Fri(
+                omega=primitive_nth_root(n),
+                offset=3,
+                domain_length=n,
+                expansion_factor=4,
+                num_colinearity_tests=4,
+            )
+            fri.device_chain = chain
+            fs, stream = FiatShamir(), ProofStream()
+            fri.prove(jnp.asarray(codeword), fs, stream)
+            return stream.serialize(), bytes(fs.transcript)
+
+        p_chain, t_chain = run(True)
+        p_classic, t_classic = run(False)
+        assert p_chain == p_classic
+        assert t_chain == t_classic
