@@ -135,6 +135,33 @@ def main() -> None:
         t_hash = _chain_time(hstep, xh)
         extras["leaf_hash_Mlanes_per_s"] = round((1 << 20) / t_hash / 1e6, 2)
 
+        # End-to-end STARK proof (Fibonacci AIR) wall time, steady state.
+        from stark_tpu import StarkConfig, StarkProver, StarkVerifier
+        from stark_tpu.models.fibonacci import (
+            FibonacciAir,
+            fibonacci_trace_mod_p,
+        )
+
+        T = 1 << 14
+        cfg = StarkConfig(
+            trace_length=T, blowup=4, num_colinearity_tests=16
+        )
+        air = FibonacciAir()
+        trace = fibonacci_trace_mod_p(T)
+        prover = StarkProver(air, cfg)
+        proof = prover.prove(trace)  # compile + warm
+        t0 = time.perf_counter()
+        proof = prover.prove(trace)
+        t_prove = time.perf_counter() - t0
+        verifier = StarkVerifier(air, cfg)
+        assert verifier.verify(proof)
+        t0 = time.perf_counter()
+        verifier.verify(proof)
+        t_verify = time.perf_counter() - t0
+        extras["prove_T2e14_s"] = round(t_prove, 3)
+        extras["verify_T2e14_s"] = round(t_verify, 3)
+        extras["proof_bytes_T2e14"] = len(proof)
+
     result = {
         "metric": "NTT points/s/chip at 2^22",
         "value": round(points_per_s, 0),

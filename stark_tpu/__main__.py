@@ -54,6 +54,9 @@ def _prove(args) -> int:
 def _verify(args) -> int:
     from stark_tpu import StarkConfig, StarkVerifier
     from stark_tpu.models.fibonacci import FibonacciAir
+    from stark_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = StarkConfig(
         trace_length=args.trace_length,
@@ -66,6 +69,42 @@ def _verify(args) -> int:
     dt = time.time() - t0
     print(f"verify: {'ACCEPT' if ok else 'REJECT'} in {dt:.3f}s")
     return 0 if ok else 1
+
+
+def _inspect(args) -> int:
+    """Parse a proof file and summarize its objects (wire format:
+    reference src/stream.rs:35-64)."""
+    from collections import Counter
+
+    from stark_tpu import FiniteField, ProofStream
+    from stark_tpu.stream import (
+        FieldElementObj,
+        FieldElements,
+        MerklePath,
+        MerkleRoot,
+    )
+
+    data = open(args.proof, "rb").read()
+    stream = ProofStream.deserialize(data, FiniteField())
+    counts = Counter(type(o).__name__ for o in stream.objects)
+    print(f"{args.proof}: {len(data)} bytes, {len(stream)} objects")
+    for name, c in counts.items():
+        print(f"  {name:<16} x{c}")
+    for i, obj in enumerate(stream.objects):
+        if isinstance(obj, MerkleRoot):
+            print(f"  [{i}] MerkleRoot {obj.hash.to_hex()[:16]}…")
+        elif isinstance(obj, FieldElements):
+            vals = [fe.value for fe in obj.elements[:4]]
+            more = "…" if len(obj.elements) > 4 else ""
+            print(f"  [{i}] FieldElements({len(obj.elements)}) {vals}{more}")
+        elif isinstance(obj, MerklePath):
+            print(f"  [{i}] MerklePath({len(obj.path)})")
+        elif isinstance(obj, FieldElementObj):
+            print(f"  [{i}] FieldElement {obj.element.value}")
+        if i >= args.limit:
+            print(f"  … ({len(stream) - i - 1} more)")
+            break
+    return 0
 
 
 def _bench(_args) -> int:
@@ -99,10 +138,18 @@ def main(argv=None) -> int:
 
     sub.add_parser("bench", help="run the benchmark harness")
 
+    pi = sub.add_parser("inspect", help="summarize a proof file's objects")
+    pi.add_argument("proof")
+    pi.add_argument("--limit", type=int, default=12)
+
     args = p.parse_args(argv)
-    return {"demo": _demo, "prove": _prove, "verify": _verify, "bench": _bench}[
-        args.cmd
-    ](args)
+    return {
+        "demo": _demo,
+        "prove": _prove,
+        "verify": _verify,
+        "bench": _bench,
+        "inspect": _inspect,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -75,9 +75,12 @@ def _rows_to_host_bytes(rows) -> np.ndarray:
 class MerkleTree:
     """Hybrid device/host tree.
 
-    ``_dev_levels``: tuple of (32, w) u8 device arrays, widths n .. W_min
-    (may be empty).  ``_top_levels``: list of (w, 32) u8 numpy arrays
-    continuing down to width 1 (always present once built).
+    ``_dev_levels``: tuple of row-tuple levels (32 arrays of (w/128, 128)
+    u8 each; (1, w) below one tile), widest first — may be empty for
+    host-only trees.  ``_top_levels``: list of (w, 32) u8 numpy arrays
+    continuing down to width 1, or None for FULL-device trees (all levels
+    incl. the root on device; the root is fetched lazily or installed via
+    :meth:`set_root` from a batched fetch).
     """
 
     def __init__(self, leaves=None, *, _dev_levels=(), _top_levels=None):
