@@ -539,9 +539,11 @@ class Fri:
         ):
             reason("bad_last_omega", "last omega has wrong order")
             return False
+        # Host numpy engine: the last codeword is tiny (<= ~4*expansion),
+        # so a device dispatch — let alone a cold compile — would dominate.
         vals = np.array([v % P for v in last_codeword], dtype=np.uint32)
-        coeffs = np.asarray(NTT.coset_interp(vals, last_offset))
-        re_eval = np.asarray(NTT.coset_eval(coeffs, last_offset))
+        coeffs = NTT.host_coset_interp(vals, last_offset)
+        re_eval = NTT.host_coset_eval(coeffs, last_offset)
         # The reference compares FieldElements by RAW value (ff.rs:50-58):
         # a wire value >= p can never equal the (canonical) re-evaluation.
         if any(v >= P for v in last_codeword) or not np.array_equal(re_eval, vals):

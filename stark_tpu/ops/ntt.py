@@ -167,6 +167,53 @@ def lde(coeffs, blowup: int, offset: int):
 
 
 # ---------------------------------------------------------------------------
+# Host (numpy) engine — exact same algorithm, no XLA.  Used where the data
+# is tiny and a device dispatch (or a cold-process compile) would dominate:
+# the verifier's last-codeword low-degree check (fri.rs:360-397 replacement)
+# touches <= ~hundreds of points.
+# ---------------------------------------------------------------------------
+
+def _host_ntt_core(x: np.ndarray, plan: NTTPlan) -> np.ndarray:
+    n = plan.n
+    a = x.astype(np.uint64).reshape(1, n)
+    for t in range(plan.log2n):
+        half = a.shape[-1] // 2
+        even, odd = a[..., :half], a[..., half:]
+        tw = (odd * plan.stage_w[t].astype(np.uint64)[:, None]) % P
+        # (even + P - tw): keep the uint64 subtraction non-wrapping.
+        a = np.concatenate(
+            [(even + tw) % P, (even + np.uint64(P) - tw) % P], axis=-2
+        )
+    a = a.reshape(n)
+    if plan.inverse:
+        a = (a * np.uint64(plan.n_inv)) % P
+    return a.astype(np.uint32)
+
+
+def host_coset_interp(values: np.ndarray, offset: int) -> np.ndarray:
+    """numpy coset interpolation (same contract as coset_interp)."""
+    values = np.asarray(values, dtype=np.uint32)
+    n = values.shape[-1]
+    c = _host_ntt_core(values, get_plan(n, inverse=True))
+    if offset % P != 1:
+        inv_off = pow(offset % P, P - 2, P)
+        c = (c.astype(np.uint64) * F.host_powers(inv_off, n).astype(np.uint64)) % P
+    return c.astype(np.uint32)
+
+
+def host_coset_eval(coeffs: np.ndarray, offset: int) -> np.ndarray:
+    """numpy coset evaluation (same contract as coset_eval)."""
+    coeffs = np.asarray(coeffs, dtype=np.uint32)
+    n = coeffs.shape[-1]
+    if offset % P != 1:
+        coeffs = (
+            coeffs.astype(np.uint64)
+            * F.host_powers(offset % P, n).astype(np.uint64)
+        ) % P
+    return _host_ntt_core(coeffs.astype(np.uint32), get_plan(n, inverse=False))
+
+
+# ---------------------------------------------------------------------------
 # Scalar oracle (host, exact) — used by unit tests only.
 # ---------------------------------------------------------------------------
 

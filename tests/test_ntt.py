@@ -86,3 +86,21 @@ class TestNTT:
         c = rand_poly(n)
         back = np.asarray(ntt.intt(ntt.ntt(c)))
         np.testing.assert_array_equal(back, c)
+
+
+def test_host_engine_matches_device():
+    rng = np.random.default_rng(77)
+    x = rng.integers(0, P, size=128, dtype=np.uint32)
+    from stark_tpu.ops.ntt import (
+        coset_eval,
+        coset_interp,
+        host_coset_eval,
+        host_coset_interp,
+    )
+
+    assert np.array_equal(host_coset_eval(x, 3), np.asarray(coset_eval(x, 3)))
+    ev = host_coset_eval(x, 3)
+    assert np.array_equal(
+        host_coset_interp(ev, 3), np.asarray(coset_interp(ev, 3))
+    )
+    assert np.array_equal(host_coset_interp(ev, 3), x)
