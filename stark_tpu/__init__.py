@@ -22,6 +22,7 @@ from stark_tpu.stream import ProofObject, ProofStream
 from stark_tpu.fri import Fri, FriProof, QueryData
 from stark_tpu.models.trace import Trace
 from stark_tpu.stark import StarkConfig, StarkProver, StarkVerifier
+from stark_tpu.batch import BatchStarkProver
 
 __version__ = "0.1.0"
 
@@ -42,4 +43,5 @@ __all__ = [
     "StarkConfig",
     "StarkProver",
     "StarkVerifier",
+    "BatchStarkProver",
 ]

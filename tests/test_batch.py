@@ -1,0 +1,45 @@
+"""Batched prover: B proofs in one pipeline must be byte-identical to B
+single-prover runs, and all must verify."""
+
+import numpy as np
+
+from stark_tpu import StarkConfig, StarkProver, StarkVerifier
+from stark_tpu.batch import BatchStarkProver
+from stark_tpu.models.fibonacci import FibonacciAir
+from stark_tpu.ops.fieldops import P
+
+
+def _traces(B: int, T: int):
+    out = []
+    rng = np.random.default_rng(4)
+    for b in range(B):
+        a, c = 1 + b, 1
+        rows = []
+        for _ in range(T):
+            rows.append([a])
+            a, c = c, (a + c) % P
+        out.append(rows)
+    return out
+
+
+class VariantFibAir(FibonacciAir):
+    """Fibonacci with per-trace initial value boundary left open except
+    row 1 (so distinct traces all satisfy it)."""
+
+    def boundary_constraints(self, trace_length: int):
+        from stark_tpu.models.air import BoundaryConstraint
+
+        return [BoundaryConstraint(row=1, register=0, value=1)]
+
+
+def test_batch_matches_singles():
+    B, T = 3, 256
+    air = VariantFibAir()
+    cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=4)
+    traces = _traces(B, T)
+    batch = BatchStarkProver(air, cfg, B).prove_batch(traces)
+    single = StarkProver(air, cfg)
+    verifier = StarkVerifier(air, cfg)
+    for b in range(B):
+        assert batch[b] == single.prove(traces[b]), f"proof {b} differs"
+        assert verifier.verify(batch[b])
