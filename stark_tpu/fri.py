@@ -198,6 +198,16 @@ class Fri:
         with the mesh-sharded builder (parallel/pmerkle.py)."""
         return MerkleTree.from_leaf_values(codeword)
 
+    def build_tree_full_device(self, codeword):
+        """Full-device tree for the zero-sync commit chain, or None when
+        the codeword is too narrow for the device path (the chain then
+        falls back to the classic per-round flow)."""
+        from stark_tpu.merkle import _DEVICE_MIN_WIDTH
+
+        if int(codeword.shape[0]) < _DEVICE_MIN_WIDTH:
+            return None
+        return MerkleTree.from_leaf_values_full_device(codeword)
+
     #: Device-chained commit: trees, roots, challenges and folds stay on
     #: device with zero per-round host synchronization; the host replays
     #: the byte-identical transcript from one batched root fetch at the
@@ -244,10 +254,10 @@ class Fri:
             )
             root_devs: list = []
             alpha_devs: list = []
-            while (
-                r < rounds and int(codeword.shape[0]) >= _DEVICE_MIN_WIDTH
-            ):
-                tree = MerkleTree.from_leaf_values_full_device(codeword)
+            while r < rounds:
+                tree = self.build_tree_full_device(codeword)
+                if tree is None:
+                    break
                 root_bytes = tree.root_bytes_dev()
                 root_devs.append(root_bytes)
                 transcript_dev = (

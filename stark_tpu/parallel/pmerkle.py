@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from stark_tpu.merkle import _DEVICE_MIN_WIDTH, MerkleTree, _build_host_levels
+from stark_tpu.merkle import MerkleTree
 from stark_tpu.ops import hash_batch as HB
 from stark_tpu.parallel.mesh import AXIS
 
@@ -72,16 +72,20 @@ def _level_fn(mesh: Mesh, w: int):
 
 
 def _finish_tree(leaf_rows, mesh: Mesh) -> MerkleTree:
-    from stark_tpu.merkle import _rows_to_host_bytes, _rows_width
+    """FULL-device tree: local shard_map combines while pairs stay inside
+    shards, then tiny cross-shard levels as plain jits (GSPMD gathers the
+    32*D-ish bytes over ICI).  Nothing touches the host — the root is
+    consumed on device by the chained FRI commit, or fetched lazily."""
+    from stark_tpu.merkle import _rows_width
 
     D = mesh.devices.size
     dev = [leaf_rows]
     # Local combines need >= 2 sublane rows per shard: width >= 256*D.
-    while _rows_width(dev[-1]) >= max(2 * HB.LANE * D, 2 * _DEVICE_MIN_WIDTH):
+    while _rows_width(dev[-1]) >= 2 * HB.LANE * D:
         dev.append(_level_fn(mesh, _rows_width(dev[-1]))(dev[-1]))
-    # Narrow top: one small gather, then the host engine (bytes identical).
-    top = _build_host_levels(_rows_to_host_bytes(dev[-1]))[1:]
-    return MerkleTree(_dev_levels=tuple(dev), _top_levels=top)
+    while _rows_width(dev[-1]) > 1:
+        dev.append(HB.level_rows(dev[-1]))
+    return MerkleTree(_dev_levels=tuple(dev))
 
 
 def sharded_tree_from_values(values, mesh: Mesh) -> MerkleTree:

@@ -67,10 +67,15 @@ class ShardedFri(Fri):
     Protocol behavior (and bytes) identical to :class:`stark_tpu.fri.Fri`.
     """
 
-    # Sharded trees finish their narrow top on host, so the single-device
-    # zero-sync commit chain does not apply (mesh runs amortize the root
-    # round-trip across D devices anyway).
-    device_chain = False
+    # Sharded trees are full-device (parallel/pmerkle.py), so the zero-sync
+    # commit chain applies on the mesh too.
+    device_chain = True
+
+    def build_tree_full_device(self, codeword):
+        n = int(codeword.shape[0])
+        if self._tree_shardable(n):
+            return pmerkle.sharded_tree_from_values(codeword, self.mesh)
+        return super().build_tree_full_device(codeword)
 
     def __init__(self, *args, mesh: Mesh, **kwargs):
         super().__init__(*args, **kwargs)

@@ -16,13 +16,16 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
-def enable_compilation_cache(path: str | None = None) -> None:
+def enable_compilation_cache(
+    path: str | None = None, allow_cpu: bool = False
+) -> None:
     import jax
 
     try:
-        if jax.default_backend() == "cpu":
+        if jax.default_backend() == "cpu" and not allow_cpu:
             # XLA:CPU persists AOT machine code whose feature flags can
-            # mismatch the loading host (SIGILL risk) — TPU only.
+            # mismatch across hosts (SIGILL risk); opt in (tests do — the
+            # cache is written and read on the same machine).
             return
     except Exception:
         return

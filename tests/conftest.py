@@ -28,7 +28,9 @@ assert len(jax.devices()) == 8, (
 
 # Persistent compile cache: the per-width hash/tree graphs dominate test
 # wall time on a cold process; entries are keyed by platform so CPU and
-# TPU runs coexist in the same directory.
+# TPU runs coexist in the same directory.  allow_cpu: the cache is written
+# and read on this same machine (the cross-host AOT feature-mismatch risk
+# does not apply), and it cuts repeat suite runs by minutes.
 from stark_tpu.utils.cache import enable_compilation_cache
 
-enable_compilation_cache()
+enable_compilation_cache(allow_cpu=True)
