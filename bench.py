@@ -56,26 +56,13 @@ def _chain_time(step, x0, k1=2, k2=12, reps=3):
 
 
 def _host_numpy_ntt(x: np.ndarray) -> float:
-    """Single-pass timed host-CPU radix-2 NTT (vectorized numpy, 1 thread)."""
-    from stark_tpu.ops.fieldops import host_powers, primitive_nth_root
+    """Timed host-CPU radix-2 NTT (the in-tree numpy engine — numerically
+    correct and cross-checked against the device NTT in tests)."""
+    from stark_tpu.ops.ntt import _host_ntt_core, get_plan
 
-    n = x.shape[0]
-    log2n = n.bit_length() - 1
-    omega = primitive_nth_root(n)
-    pow_table = host_powers(omega, n).astype(np.uint64)
-    stage_w = [
-        pow_table[:: (n >> (t + 1))][: (1 << t)].copy() for t in range(log2n)
-    ]
+    plan = get_plan(x.shape[0])  # build twiddles outside the timed region
     t0 = time.perf_counter()
-    a = x.astype(np.uint64).reshape(1, n)
-    for t in range(log2n):
-        half = a.shape[-1] // 2
-        even, odd = a[..., :half], a[..., half:]
-        tw = (odd * stage_w[t][:, None]) % PRIME
-        a = np.concatenate(
-            [(even + tw) % PRIME, (even - tw) % PRIME], axis=-2
-        )
-    a.reshape(-1)
+    _host_ntt_core(x, plan)
     return time.perf_counter() - t0
 
 

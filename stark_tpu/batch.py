@@ -106,11 +106,15 @@ class BatchedTrees:
 
     @staticmethod
     def from_rows(cols, B: int, c: int, n: int) -> "BatchedTrees":
-        """cols: (B, c, n) uint32 -> forest (leaf_j = H(row j) per proof)."""
+        """cols: (B, c, n) uint32 -> forest (leaf_j = H(row j) per proof).
+
+        Narrow trees (n < 128) keep the (B, n) per-proof layout from the
+        leaves down — packing proofs into shared 128-lane rows would break
+        the per-proof gather index arithmetic.
+        """
+        lanes = jnp.asarray(cols, dtype=jnp.uint32).transpose(1, 0, 2)
         lanes = (
-            jnp.asarray(cols, dtype=jnp.uint32)
-            .transpose(1, 0, 2)
-            .reshape(c, B * n // LANE, LANE)
+            lanes.reshape(c, B * n // LANE, LANE) if n >= LANE else lanes
         )
         return BatchedTrees(
             _forest_from_leaf_rows(HB.row_hash_rows(lanes), B, n), B, n
@@ -161,30 +165,10 @@ def _forest_gather_fn(B: int, n: int, k: int):
 # Batched transcript challenges.
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
 def _batched_alpha_fn(B: int, length: int):
-    """(B, length) u8 transcripts -> (B,) alpha mod p."""
-
-    def fn(transcripts):
-        state = HB._init_rows(jnp, (B,))
-        for c in range(0, length, 32):
-            size = min(32, length - c)
-            chunk = [transcripts[:, c + i] for i in range(size)]
-            state = HB._absorb_rows(state, chunk)
-            state = HB._mix_rows(state)
-        for _ in range(8):
-            state = HB._mix_rows(state)
-        acc = jnp.zeros((B,), jnp.uint32)
-        for i in range(8):
-            acc = F.addmod(
-                acc,
-                F.mulmod(
-                    state[i].astype(jnp.uint32), jnp.uint32(pow(2, 8 * i, P))
-                ),
-            )
-        return acc
-
-    return jax.jit(fn)
+    """(B, length) u8 transcripts -> (B,) alpha mod p (the shared
+    device Fiat-Shamir challenge kernel, ops/hash_batch)."""
+    return HB._transcript_alpha_fn(length, B)
 
 
 # ---------------------------------------------------------------------------
@@ -226,8 +210,6 @@ class BatchStarkProver:
         trace_roots = np.asarray(trace_roots_dev).astype(np.uint8)
         streams = [ProofStream() for _ in range(B)]
         fss = [FiatShamir() for _ in range(B)]
-        alphas_h = np.empty((B, 0), np.uint32)
-        betas_h = np.empty((B, 0), np.uint32)
         ab = []
         for b in range(B):
             root = Hash(trace_roots[b].tobytes())
@@ -286,9 +268,10 @@ class BatchStarkProver:
                 fss[b].absorb(root.data)
                 if r < rounds - 1:
                     alpha = fss[b].challenge(field)
-                    assert int(alphas_dev_h[r][b]) == alpha.value % P, (
-                        "device/host transcript divergence"
-                    )
+                    if int(alphas_dev_h[r][b]) != alpha.value % P:
+                        raise RuntimeError(
+                            "device/host transcript divergence"
+                        )
             streams[b].push(
                 FieldElements(tuple(int(v) for v in np.asarray(last_h[b])))
             )

@@ -295,9 +295,12 @@ class Fri:
                     fiat_shamir.absorb(root.data)
                     if i < len(alphas_host):
                         alpha = fiat_shamir.challenge(self.field)
-                        assert int(alphas_host[i]) == alpha.value % P, (
-                            "device/host transcript divergence"
-                        )
+                        if int(alphas_host[i]) != alpha.value % P:
+                            # Integrity tie between the device challenge
+                            # path and the host replay — must survive -O.
+                            raise RuntimeError(
+                                "device/host transcript divergence"
+                            )
 
         # -- phase 2: classic rounds (narrow codewords) --------------------
         while r < rounds:

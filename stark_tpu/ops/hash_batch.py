@@ -257,37 +257,39 @@ level_rows = jax.jit(level_rows_core)
 
 
 @functools.lru_cache(maxsize=None)
-def _transcript_alpha_fn(length: int):
-    """Jitted (length,) u8 transcript -> alpha mod p (u32 scalar).
+def _transcript_alpha_fn(length: int, B: int = 1):
+    """Jitted (B, length) u8 transcripts -> (B,) alpha mod p.
     Arbitrary length; chunking matches hash.rs:13-27 (partial last chunk
     absorbed then mixed)."""
     assert length > 0
     from stark_tpu.ops import fieldops as F
     from stark_tpu.ops.fieldops import P
 
-    def fn(transcript):
-        state = _init_rows(jnp, (1,))
+    def fn(transcripts):
+        state = _init_rows(jnp, (B,))
         for c in range(0, length, 32):
             size = min(32, length - c)
-            chunk = [transcript[c + i].reshape(1) for i in range(size)]
+            chunk = [transcripts[:, c + i] for i in range(size)]
             state = _absorb_rows(state, chunk)
             state = _mix_rows(state)
         for _ in range(8):
             state = _mix_rows(state)
-        acc = jnp.zeros((1,), jnp.uint32)
+        acc = jnp.zeros((B,), jnp.uint32)
         for i in range(8):
             term = F.mulmod(
                 state[i].astype(jnp.uint32), jnp.uint32(pow(2, 8 * i, P))
             )
             acc = F.addmod(acc, term)
-        return acc[0]
+        return acc
 
     return jax.jit(fn)
 
 
 def device_transcript_alpha(transcript):
     """alpha mod p for a device (L,) u8 transcript (no host sync)."""
-    return _transcript_alpha_fn(int(transcript.shape[0]))(transcript)
+    return _transcript_alpha_fn(int(transcript.shape[0]))(
+        transcript[None, :]
+    )[0]
 
 
 def root_bytes_from_rows(rows):

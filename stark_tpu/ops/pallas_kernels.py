@@ -92,6 +92,10 @@ def fold_pallas(a, b, inv_x_mont, scalars, interpret=False):
     assert half % _LANES == 0, half
     sub = min(_SUBLANES, half // _LANES)
     block = sub * _LANES
+    assert half % block == 0, (
+        f"half={half} not a multiple of the {block}-lane block; "
+        "pad or use the jnp fold"
+    )
     grid = (half // block,)
     shaped = lambda x: x.reshape(half // _LANES, _LANES)
     spec = pl.BlockSpec(

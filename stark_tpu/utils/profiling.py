@@ -26,8 +26,14 @@ def reset_reasons() -> None:
     LAST_REASONS.clear()
 
 
+_MAX_REASONS = 256
+
+
 def reason(code: str, message: str) -> None:
-    """Record + print a verification failure reason (reference prints only)."""
+    """Record + print a verification failure reason (reference prints only).
+    The trail is bounded so long-lived verifier processes cannot leak."""
+    if len(LAST_REASONS) >= _MAX_REASONS:
+        del LAST_REASONS[: _MAX_REASONS // 2]
     LAST_REASONS.append((code, message))
     print(message)
 

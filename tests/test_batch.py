@@ -43,3 +43,18 @@ def test_batch_matches_singles():
     for b in range(B):
         assert batch[b] == single.prove(traces[b]), f"proof {b} differs"
         assert verifier.verify(batch[b])
+
+
+def test_tiny_batch_narrow_trees():
+    """N = 64 < 128 lanes per proof: the forest must keep per-proof (B, w)
+    layout (regression for the narrow-tree gather)."""
+    B, T = 2, 16
+    air = VariantFibAir()
+    cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=2)
+    traces = _traces(B, T)
+    batch = BatchStarkProver(air, cfg, B).prove_batch(traces)
+    single = StarkProver(air, cfg)
+    verifier = StarkVerifier(air, cfg)
+    for b in range(B):
+        assert batch[b] == single.prove(traces[b]), f"proof {b} differs"
+        assert verifier.verify(batch[b])
