@@ -197,7 +197,7 @@ class BatchStarkProver:
 
         # 1-2. LDE + trace commitment (batched).
         cols = (
-            np.array(traces, dtype=np.uint64).transpose(0, 2, 1) % P
+            np.asarray(traces, dtype=np.uint64).transpose(0, 2, 1) % P
         ).astype(np.uint32)                                 # (B, c, T)
         coeffs = NTT.intt(cols)
         trace_lde = NTT.lde(coeffs, cfg.blowup, d.offset)   # (B, c, N)

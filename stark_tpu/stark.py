@@ -214,7 +214,9 @@ class StarkProver:
         stream = ProofStream()
 
         # 1. trace columns -> coefficients -> LDE on the coset  [device]
-        cols = np.array(trace_rows, dtype=np.uint64).T % P       # (c, T)
+        # (np.asarray: zero-copy when the caller already passes an ndarray —
+        # converting a 2^20-row python list costs ~0.2 s otherwise)
+        cols = np.asarray(trace_rows, dtype=np.uint64).T % P     # (c, T)
         trace_lde = self._lde_trace(cols.astype(np.uint32))      # (c, N)
 
         # 2. commit trace
