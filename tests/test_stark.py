@@ -78,3 +78,41 @@ class TestStarkEndToEnd:
             bad = bytearray(proof)
             bad[pos] ^= 0x55
             assert not verifier.verify(bytes(bad))
+
+
+class TestTamperMatrix:
+    """Targeted corruption classes must all be rejected."""
+
+    def _setup(self):
+        from stark_tpu.models.fibonacci import (
+            FibonacciAir,
+            fibonacci_trace_mod_p,
+        )
+
+        air = FibonacciAir()
+        cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=8)
+        proof = StarkProver(air, cfg).prove(fibonacci_trace_mod_p(64))
+        return air, cfg, proof
+
+    def test_truncated_proof_rejected(self):
+        air, cfg, proof = self._setup()
+        v = StarkVerifier(air, cfg)
+        for cut in (len(proof) // 2, len(proof) - 40, 10):
+            assert not v.verify(proof[:cut]), f"accepted truncation at {cut}"
+
+    def test_flip_every_region_rejected(self):
+        air, cfg, proof = self._setup()
+        v = StarkVerifier(air, cfg)
+        # Sample byte positions across the whole stream (roots, codeword,
+        # triples, paths, trace openings).
+        for pos in range(1, len(proof), max(1, len(proof) // 13)):
+            bad = bytearray(proof)
+            bad[pos] ^= 0x40
+            assert not v.verify(bytes(bad)), f"accepted flip at {pos}"
+
+    def test_empty_and_garbage_rejected(self):
+        air, cfg, _ = self._setup()
+        v = StarkVerifier(air, cfg)
+        assert not v.verify(b"")
+        assert not v.verify(b"\x00" * 100)
+        assert not v.verify(bytes(range(256)) * 4)
