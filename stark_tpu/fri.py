@@ -199,13 +199,9 @@ class Fri:
         return MerkleTree.from_leaf_values(codeword)
 
     def build_tree_full_device(self, codeword):
-        """Full-device tree for the zero-sync commit chain, or None when
-        the codeword is too narrow for the device path (the chain then
-        falls back to the classic per-round flow)."""
-        from stark_tpu.merkle import _DEVICE_MIN_WIDTH
-
-        if int(codeword.shape[0]) < _DEVICE_MIN_WIDTH:
-            return None
+        """Full-device tree for the zero-sync commit chain (any power-of-two
+        width — narrow tail rounds stay on device too); None falls back to
+        the classic per-round flow."""
         return MerkleTree.from_leaf_values_full_device(codeword)
 
     #: Device-chained commit: trees, roots, challenges and folds stay on

@@ -169,9 +169,10 @@ class MerkleTree:
         import jax.numpy as jnp
 
         n = int(values.shape[0])
-        assert n >= _DEVICE_MIN_WIDTH and n & (n - 1) == 0
-        v2d = jnp.asarray(values, dtype=jnp.uint32).reshape(
-            n // HB.LANE, HB.LANE
+        assert n > 0 and n & (n - 1) == 0
+        v = jnp.asarray(values, dtype=jnp.uint32)
+        v2d = (
+            v.reshape(n // HB.LANE, HB.LANE) if n >= HB.LANE else v[None, :]
         )
         dev = [HB.leaf_hash_rows(v2d)]
         while _rows_width(dev[-1]) > 1:
