@@ -21,6 +21,9 @@ from dataclasses import dataclass
 from stark_tpu.ops.fieldops import GENERATOR, P, TWO_ADICITY
 from stark_tpu.utils.xgcd import xgcd
 
+_U128_MASK = (1 << 128) - 1
+_U64_MASK = (1 << 64) - 1
+
 
 @dataclass(frozen=True)
 class FiniteField:
@@ -48,12 +51,17 @@ class FiniteField:
         return FieldElement((l.value + r.value) % self.p, self)
 
     def sub(self, l: "FieldElement", r: "FieldElement") -> "FieldElement":
-        # (p + l - r) mod p; correct for any unreduced l, r < 2^64 as in
-        # ff.rs:154-160 (exact in Python ints).
-        return FieldElement((self.p + l.value - r.value) % self.p, self)
+        # (p + l - r) computed in u128 (ff.rs:154-160): for adversarial
+        # unreduced r > p + l the reference (release mode) WRAPS mod 2^128
+        # before reducing — same semantics as fri._sub_ref.
+        return FieldElement(
+            ((self.p + l.value - r.value) & _U128_MASK) % self.p, self
+        )
 
     def neg(self, op: "FieldElement") -> "FieldElement":
-        return FieldElement((self.p - op.value) % self.p, self)
+        # (p - value) % p on u64 (ff.rs:162-167): wraps mod 2^64 for
+        # unreduced value > p.
+        return FieldElement(((self.p - op.value) & _U64_MASK) % self.p, self)
 
     def inv(self, op: "FieldElement") -> "FieldElement":
         g, x, _ = xgcd(op.value, self.p)

@@ -2,10 +2,12 @@
 
 The framework's determinism contract (hash bytes, challenges, serialized
 proofs — reference src/hash.rs / fiat_shamir.rs / stream.rs semantics) must
-never drift across refactors or engines.  These constants were produced by
-the cross-checked scalar engine; every optimized path (native C, device
-batch, distributed) is tested elsewhere to match that engine, so this file
-anchors the whole equivalence class.
+never drift across refactors or engines.  These constants are additionally
+re-derived from the INDEPENDENT reference transliteration in
+tests/ref_oracle/ (see test_oracle_crosscheck.py::test_golden_constants_
+reanchored), so they are anchored adversarially, not just by construction;
+every optimized path (native C, device batch, distributed) is tested
+elsewhere to match the same engine.
 """
 
 import hashlib
