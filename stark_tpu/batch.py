@@ -247,7 +247,7 @@ class BatchStarkProver:
             codeword = _fold_kernel_dynamic(
                 codeword[:, : n // 2],
                 codeword[:, n // 2 :],
-                fri._plan.inv_x_mont[r],
+                fri._plan.inv_x_mont(r),
                 alpha_red[:, None],
                 jnp.uint32(_INV2),
                 jnp.uint32(_INV2_SHOUP),

@@ -95,23 +95,38 @@ def _fold_kernel_dynamic(a, b, inv_x_mont, alpha_red, inv2_w, inv2_ws):
 
 
 class FriPlan:
-    """Per-(domain, omega, offset) precomputation: the inverse-x ladders of
-    every round, in Montgomery form (offset and omega square per round,
-    fri.rs:146-147, so all ladders are known upfront)."""
+    """Per-(domain, omega, offset) precomputation: the inverse-x ladder of
+    each round, in Montgomery form (offset and omega square per round,
+    fri.rs:146-147, so every round's parameters are known upfront).
+
+    Ladders are built LAZILY on first use and cached: only the prover's
+    fold path ever needs them — the verifier constructs a `Fri` too
+    (fri.rs:313 shares the struct) and must not pay the O(N) host ladder
+    computation + device transfer for data it never touches."""
 
     def __init__(self, domain_length: int, omega: int, offset: int, num_rounds: int):
-        self.inv_x_mont = []
+        self._params = []
         w, o = omega % P, offset % P
         for _ in range(max(num_rounds - 1, 0)):
-            half = domain_length // 2
+            self._params.append((domain_length // 2, w, o))
+            w = (w * w) % P
+            o = (o * o) % P
+            domain_length //= 2
+        self._cache: dict[int, object] = {}
+
+    def inv_x_mont(self, r: int):
+        """(half,) uint32 device array of (offset*omega^i)^{-1} * R mod p
+        for round r."""
+        got = self._cache.get(r)
+        if got is None:
+            half, w, o = self._params[r]
             w_inv = pow(w, P - 2, P)
             o_inv = pow(o, P - 2, P)
             ladder = F.host_powers(w_inv, half, scale=o_inv)
             mont = (ladder.astype(np.uint64) * ((1 << 32) % P)) % P
-            self.inv_x_mont.append(jnp.asarray(mont.astype(np.uint32)))
-            w = (w * w) % P
-            o = (o * o) % P
-            domain_length //= 2
+            got = jnp.asarray(mont.astype(np.uint32))
+            self._cache[r] = got
+        return got
 
 
 _INV2 = pow(2, P - 2, P)
@@ -178,13 +193,13 @@ class Fri:
             return PK.fold_pallas(
                 codeword[:half],
                 codeword[half:],
-                self._plan.inv_x_mont[round_idx],
+                self._plan.inv_x_mont(round_idx),
                 scalars,
             )
         return _fold_kernel(
             codeword[:half],
             codeword[half:],
-            self._plan.inv_x_mont[round_idx],
+            self._plan.inv_x_mont(round_idx),
             alpha_w,
             alpha_ws,
             jnp.uint32(_INV2),
@@ -272,7 +287,7 @@ class Fri:
                 codeword = _fold_kernel_dynamic(
                     codeword[: codeword.shape[0] // 2],
                     codeword[codeword.shape[0] // 2 :],
-                    self._plan.inv_x_mont[r],
+                    self._plan.inv_x_mont(r),
                     alpha_red,
                     jnp.uint32(_INV2),
                     jnp.uint32(_INV2_SHOUP),
@@ -513,6 +528,17 @@ class Fri:
 
         if not roots:
             reason("no_roots", "No FRI roots extracted")
+            return False
+        # Structural totality guard (beyond reference parity, which panics —
+        # merkle.rs:12-17): hostile streams may carry a last codeword whose
+        # length is zero or not a power of two; MerkleTree would assert.
+        # Must be an explicit check (not assert) so it survives `python -O`.
+        n_last = len(last_codeword)
+        if n_last == 0 or n_last & (n_last - 1) != 0:
+            reason(
+                "last_codeword_malformed",
+                "last codeword length is not a power of two",
+            )
             return False
         # Leaves hash the RAW u64 wire value (fri.rs:349-352); honest values
         # are reduced and take the batched device path.

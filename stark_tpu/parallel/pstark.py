@@ -82,13 +82,18 @@ class ShardedFri(Fri):
         self.mesh = mesh
         self._D = mesh.devices.size
         self._sh = NamedSharding(mesh, P(AXIS))
-        # Pre-place each round's inverse-x ladder on the mesh.
-        self._plan.inv_x_mont = [
-            jax.device_put(lad, self._sh)
-            if lad.shape[0] % self._D == 0
-            else lad
-            for lad in self._plan.inv_x_mont
-        ]
+        # Shard each round's (lazily built) inverse-x ladder on the mesh.
+        plan, sh, D = self._plan, self._sh, self._D
+        base_ladder = plan.inv_x_mont
+
+        def sharded_ladder(r: int):
+            lad = base_ladder(r)
+            if lad.shape[0] % D == 0:
+                lad = jax.device_put(lad, sh)
+                plan._cache[r] = lad
+            return lad
+
+        plan.inv_x_mont = sharded_ladder
 
     def _shardable(self, n: int) -> bool:
         return n % self._D == 0 and n >= self._D * max(self._D, 2)

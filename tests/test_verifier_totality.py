@@ -1,0 +1,183 @@
+"""Verifier totality: `verify()` must be a TOTAL function of the proof
+bytes — returning False on malformed/hostile input, never raising — and the
+guards must be explicit checks (not asserts) so behavior is identical under
+``python -O`` (VERDICT round 1, item 3).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stark_tpu.field import FiniteField
+from stark_tpu.fri import Fri
+from stark_tpu.ops import ntt as NTT
+from stark_tpu.ops.fieldops import P, primitive_nth_root
+from stark_tpu.stream import FieldElements, ProofStream
+from stark_tpu.transcript import FiatShamir
+
+FIELD = FiniteField()
+
+
+def make_valid_fri_proof(n=64, offset=7, expansion=4, tests=3):
+    coeffs = np.zeros(n, dtype=np.uint32)
+    coeffs[:2] = [5, 3]
+    codeword = NTT.coset_eval(coeffs, offset)
+    fri = Fri(primitive_nth_root(n), offset, n, expansion, tests, field=FIELD)
+    stream, fs = ProofStream(), FiatShamir()
+    fri.prove(jnp.asarray(codeword), fs, stream)
+    return fri, stream.serialize()
+
+
+@pytest.fixture(scope="module")
+def valid():
+    return make_valid_fri_proof()
+
+
+def check_total(fri, data: bytes):
+    """verify must return a bool on these bytes, never raise."""
+    stream = ProofStream.deserialize(data, FIELD)
+    result = fri.verify(stream, FiatShamir(), [])
+    assert isinstance(result, bool)
+    return result
+
+
+class TestFriVerifierTotality:
+    def test_valid_accepts(self, valid):
+        fri, proof = valid
+        assert check_total(fri, proof)
+
+    def test_empty_and_garbage_bytes(self, valid):
+        fri, _ = valid
+        rng = np.random.default_rng(3)
+        assert not check_total(fri, b"")
+        assert not check_total(fri, b"\x00")
+        assert not check_total(fri, b"\xff" * 1000)
+        for size in (1, 7, 33, 100, 5000):
+            blob = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+            assert not check_total(fri, blob)
+
+    def test_truncated_last_codeword_to_three(self, valid):
+        """The judge's probe: a valid proof whose last-codeword
+        FieldElements is truncated to 3 entries previously escaped as an
+        AssertionError from MerkleTree's pow2 assert."""
+        fri, proof = valid
+        stream = ProofStream.deserialize(proof, FIELD)
+        for i, obj in enumerate(stream.objects):
+            if isinstance(obj, FieldElements) and len(obj.elements) > 3:
+                stream.objects[i] = FieldElements(obj.elements[:3])
+                break
+        mutated = stream.serialize()
+        assert not check_total(fri, mutated)
+
+    @pytest.mark.parametrize("count", [0, 1, 2, 5, 6, 7])
+    def test_last_codeword_resized(self, valid, count):
+        """Every non-pow2 (and too-small pow2) last-codeword length must be
+        rejected, not raise."""
+        fri, proof = valid
+        stream = ProofStream.deserialize(proof, FIELD)
+        for i, obj in enumerate(stream.objects):
+            if isinstance(obj, FieldElements) and len(obj.elements) != 3:
+                elems = list(obj.elements)
+                resized = (elems * ((count // max(len(elems), 1)) + 1))[:count]
+                stream.objects[i] = FieldElements(tuple(resized))
+                break
+        assert not check_total(fri, stream.serialize())
+
+    def test_truncation_sweep(self, valid):
+        """Every prefix truncation returns False (never raises)."""
+        fri, proof = valid
+        for end in range(0, len(proof), 13):
+            assert not check_total(fri, proof[:end])
+
+    def test_byte_flip_sweep(self, valid):
+        """Flipping any byte must flip the verdict to False, totally."""
+        fri, proof = valid
+        rng = np.random.default_rng(5)
+        positions = sorted(
+            set(
+                rng.integers(0, len(proof), size=64).tolist()
+                + [0, 1, 32, 33, len(proof) - 1]
+            )
+        )
+        for pos in positions:
+            bad = bytearray(proof)
+            bad[pos] ^= 0xFF
+            assert not check_total(fri, bytes(bad)), f"pos={pos}"
+
+    def test_object_drop_sweep(self, valid):
+        """Dropping any single proof object returns False."""
+        fri, proof = valid
+        base = ProofStream.deserialize(proof, FIELD)
+        n_obj = len(base.objects)
+        for skip in range(n_obj):
+            stream = ProofStream.deserialize(proof, FIELD)
+            objs = list(stream.objects)
+            del objs[skip]
+            assert not check_total(fri, ProofStream(objs).serialize()), (
+                f"dropped object {skip}/{n_obj}"
+            )
+
+    def test_object_shuffle(self, valid):
+        fri, proof = valid
+        stream = ProofStream.deserialize(proof, FIELD)
+        objs = list(stream.objects)
+        objs[0], objs[-1] = objs[-1], objs[0]
+        assert not check_total(fri, ProofStream(objs).serialize())
+
+    def test_unreduced_wire_values_rejected_not_crash(self, valid):
+        """Wire values >= p in the last codeword exercise the scalar
+        fallback tree (fri.rs:349-352 hashes raw values)."""
+        fri, proof = valid
+        stream = ProofStream.deserialize(proof, FIELD)
+        for i, obj in enumerate(stream.objects):
+            if isinstance(obj, FieldElements) and len(obj.elements) > 3:
+                elems = [FIELD.new_element((1 << 63) + 5) for _ in obj.elements]
+                stream.objects[i] = FieldElements(tuple(elems))
+                break
+        assert not check_total(fri, stream.serialize())
+
+
+class TestStarkVerifierTotality:
+    @pytest.fixture(scope="class")
+    def stark(self):
+        from stark_tpu import StarkConfig, StarkProver, StarkVerifier
+        from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
+
+        cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=4)
+        air = FibonacciAir()
+        proof = StarkProver(air, cfg).prove(fibonacci_trace_mod_p(64))
+        return StarkVerifier(air, cfg), proof
+
+    def test_valid_accepts(self, stark):
+        verifier, proof = stark
+        assert verifier.verify(proof) is True
+
+    def test_garbage(self, stark):
+        verifier, _ = stark
+        rng = np.random.default_rng(11)
+        for size in (0, 1, 50, 1000, 20000):
+            blob = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+            assert verifier.verify(blob) is False
+
+    def test_truncations(self, stark):
+        verifier, proof = stark
+        for end in range(0, len(proof), max(len(proof) // 40, 1)):
+            assert verifier.verify(proof[:end]) is False
+
+    def test_byte_flips(self, stark):
+        verifier, proof = stark
+        rng = np.random.default_rng(13)
+        for pos in rng.integers(0, len(proof), size=24):
+            bad = bytearray(proof)
+            bad[pos] ^= 0xFF
+            assert verifier.verify(bytes(bad)) is False
+
+    def test_truncated_last_codeword(self, stark):
+        verifier, proof = stark
+        stream = ProofStream.deserialize(proof, FIELD)
+        for i, obj in enumerate(stream.objects):
+            if isinstance(obj, FieldElements) and len(obj.elements) > 3:
+                stream.objects[i] = FieldElements(obj.elements[:3])
+                break
+        assert verifier.verify(stream.serialize()) is False
