@@ -102,15 +102,29 @@ def _intt_jit(x, n: int):
 
 
 def ntt(coeffs):
-    """Forward NTT: coeffs (..., n) -> evaluations at omega^i, natural order."""
+    """Forward NTT: coeffs (..., n) -> evaluations at omega^i, natural order.
+
+    Large 1-D transforms on TPU dispatch to the fused multi-stage Pallas
+    engine (ops/ntt_fused.py — identical values, ~4 HBM passes instead of
+    log2 n); everything else takes the XLA Stockham chain."""
     coeffs = jnp.asarray(coeffs, dtype=jnp.uint32)
-    return _ntt_jit(coeffs, coeffs.shape[-1])
+    n = coeffs.shape[-1]
+    from stark_tpu.ops import ntt_fused as NTF
+
+    if NTF.fused_available(n, coeffs.shape):
+        return NTF.fused_ntt(coeffs)
+    return _ntt_jit(coeffs, n)
 
 
 def intt(evals):
     """Inverse NTT: evaluations at omega^i -> coefficients."""
     evals = jnp.asarray(evals, dtype=jnp.uint32)
-    return _intt_jit(evals, evals.shape[-1])
+    n = evals.shape[-1]
+    from stark_tpu.ops import ntt_fused as NTF
+
+    if NTF.fused_available(n, evals.shape):
+        return NTF.fused_ntt(evals, inverse=True)
+    return _intt_jit(evals, n)
 
 
 # ---------------------------------------------------------------------------
