@@ -73,6 +73,12 @@ from jax.experimental.pallas import tpu as pltpu
 from stark_tpu.ops.fieldops import P, primitive_nth_root, shoup_precompute
 
 _LANES = 128
+#: Lane widths of the butterfly blocks (pass 1, pass 2).  A full sweep at
+#: 2^22 put every {128,256}^2 combo within relay timing noise
+#: (0.64-0.70 ms end-to-end); (128, 256) measured best.  512 regresses
+#: clearly (VMEM pressure defeats double-buffering).
+_T_PASS1 = 128
+_T_PASS2 = 256
 _MIN_FUSED = 1 << 16
 _VMEM_LIMIT = 100 * 1024 * 1024
 
@@ -240,6 +246,41 @@ def _pass2_body(x_ref, stw_ref, stws_ref, o_ref, scratch_ref):
     _dif_col_stages(x_ref, o_ref, scratch_ref, stw_ref, stws_ref)
 
 
+def _transpose_body(x_ref, o_ref):
+    o_ref[:] = x_ref[:].T
+
+
+def _pallas_transpose(y, interpret: bool):
+    """(a, b) -> (b, a) via square VMEM blocks.
+
+    XLA's u32 transpose runs at ~64 GB/s effective (measured ~0.5 ms for
+    2048^2); square 512-blocks through the XLU hit ~0.1 ms — near HBM
+    bandwidth.  Wide-slab in-kernel transposes ((128, 2048)) are ~9x
+    slower than square blocks: keep blocks square."""
+    a, b = y.shape
+    blk = min(512, a, b)
+    if a % blk or b % blk:
+        return y.T  # fallback: shapes outside the supported grid
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    )
+    return pl.pallas_call(
+        _transpose_body,
+        grid=(a // blk, b // blk),
+        in_specs=[
+            pl.BlockSpec((blk, blk), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (blk, blk), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, a), y.dtype),
+        compiler_params=params,
+        interpret=interpret,
+    )(y)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "inverse", "interpret"))
 def _fused_ntt_jit(x, n: int, inverse: bool, interpret: bool = False):
     plan = _get_plan(n, inverse)
@@ -252,18 +293,20 @@ def _fused_ntt_jit(x, n: int, inverse: bool, interpret: bool = False):
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     )
+    t1 = min(_T_PASS1, n2)
+    t2 = min(_T_PASS2, n1)
 
-    vec = pl.BlockSpec((n1, _LANES), lambda j: (0, j), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((n1, t1), lambda j: (0, j), memory_space=pltpu.VMEM)
     stspec1 = pl.BlockSpec(
         (n1, lg1), lambda j: (0, 0), memory_space=pltpu.VMEM
     )
     y = pl.pallas_call(
         _pass1_body,
-        grid=(n2 // _LANES,),
+        grid=(n2 // t1,),
         in_specs=[vec, stspec1, stspec1, vec],
         out_specs=vec,
         out_shape=jax.ShapeDtypeStruct((n1, n2), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((n1, _LANES), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((n1, t1), jnp.uint32)],
         compiler_params=params,
         interpret=interpret,
     )(
@@ -275,19 +318,21 @@ def _fused_ntt_jit(x, n: int, inverse: bool, interpret: bool = False):
 
     # Undo pass 1's bit-reversal (row gather: contiguous rows, bandwidth
     # cost only) and transpose to (n2, n1) for the second pass.
-    yt = jnp.take(y, jnp.asarray(plan.perm1), axis=0).T
+    yt = _pallas_transpose(
+        jnp.take(y, jnp.asarray(plan.perm1), axis=0), interpret
+    )
 
-    vec2 = pl.BlockSpec((n2, _LANES), lambda j: (0, j), memory_space=pltpu.VMEM)
+    vec2 = pl.BlockSpec((n2, t2), lambda j: (0, j), memory_space=pltpu.VMEM)
     stspec2 = pl.BlockSpec(
         (n2, lg2), lambda j: (0, 0), memory_space=pltpu.VMEM
     )
     z = pl.pallas_call(
         _pass2_body,
-        grid=(n1 // _LANES,),
+        grid=(n1 // t2,),
         in_specs=[vec2, stspec2, stspec2],
         out_specs=vec2,
         out_shape=jax.ShapeDtypeStruct((n2, n1), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((n2, _LANES), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((n2, t2), jnp.uint32)],
         compiler_params=params,
         interpret=interpret,
     )(yt, jnp.asarray(plan.stages2[0]), jnp.asarray(plan.stages2[1]))
