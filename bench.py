@@ -129,6 +129,8 @@ def main() -> None:
             fibonacci_trace_mod_p,
         )
 
+        from stark_tpu.utils.profiling import PhaseTimer
+
         T = 1 << 14
         cfg = StarkConfig(
             trace_length=T, blowup=4, num_colinearity_tests=16
@@ -137,9 +139,11 @@ def main() -> None:
         trace = fibonacci_trace_mod_p(T)
         prover = StarkProver(air, cfg)
         proof = prover.prove(trace)  # compile + warm
+        timer = PhaseTimer()
         t0 = time.perf_counter()
-        proof = prover.prove(trace)
+        proof = prover.prove(trace, timer=timer)
         t_prove = time.perf_counter() - t0
+        extras["prove_phases_ms"] = timer.ms()
         verifier = StarkVerifier(air, cfg)
         assert verifier.verify(proof)
         t0 = time.perf_counter()

@@ -43,7 +43,7 @@ from stark_tpu.stream import (
     MerkleRoot,
     ProofStream,
 )
-from stark_tpu.utils.profiling import reason
+from stark_tpu.utils.profiling import NULL_TIMER, reason
 
 
 @dataclass
@@ -458,41 +458,56 @@ class Fri:
 
     # -- prove (fri.rs:250-311) -----------------------------------------------------
 
-    def prove(self, initial_codeword, fiat_shamir, proof_stream: ProofStream):
+    def prove(
+        self,
+        initial_codeword,
+        fiat_shamir,
+        proof_stream: ProofStream,
+        timer=NULL_TIMER,
+    ):
         initial_codeword = jnp.asarray(initial_codeword, dtype=jnp.uint32)
         assert self.domain_length == initial_codeword.shape[0], (
             "initial codeword length does not match domain length"
         )
 
-        codewords, trees = self.commit(initial_codeword, proof_stream, fiat_shamir)
+        with timer.phase("fri_commit"):
+            codewords, trees = self.commit(
+                initial_codeword, proof_stream, fiat_shamir
+            )
 
-        sample_size = (
-            codewords[1].shape[0] if len(codewords) > 1 else codewords[0].shape[0]
-        )
-        # Seed from the RAW (unreduced) challenge value (fri.rs:272).
-        seed = Hash.from_u64(fiat_shamir.challenge(self.field).value).data
-        top_level_indices = self.sample_indices(
-            seed,
-            sample_size,
-            codewords[-1].shape[0],
-            self.num_colinearity_tests,
-        )
-        indices = list(top_level_indices)
+        with timer.phase("fri_sample"):
+            sample_size = (
+                codewords[1].shape[0]
+                if len(codewords) > 1
+                else codewords[0].shape[0]
+            )
+            # Seed from the RAW (unreduced) challenge value (fri.rs:272).
+            seed = Hash.from_u64(fiat_shamir.challenge(self.field).value).data
+            top_level_indices = self.sample_indices(
+                seed,
+                sample_size,
+                codewords[-1].shape[0],
+                self.num_colinearity_tests,
+            )
+            indices = list(top_level_indices)
 
         # Dispatch every round's gathers, then ONE device_get for all of
         # them: the per-round reads are independent once the indices are
         # known, so the whole query phase costs a single host round-trip.
-        metas, devs = [], []
-        for i in range(len(codewords) - 1):
-            indices = [idx % (int(codewords[i].shape[0]) // 2) for idx in indices]
-            meta, dev = self._query_dispatch(
-                codewords[i], codewords[i + 1], indices, trees[i], trees[i + 1]
-            )
-            metas.append(meta)
-            devs.append(dev)
-        fetched = jax.device_get(devs)
-        for meta, f in zip(metas, fetched):
-            self._query_emit(meta, f, proof_stream)
+        with timer.phase("fri_query"):
+            metas, devs = [], []
+            for i in range(len(codewords) - 1):
+                indices = [
+                    idx % (int(codewords[i].shape[0]) // 2) for idx in indices
+                ]
+                meta, dev = self._query_dispatch(
+                    codewords[i], codewords[i + 1], indices, trees[i], trees[i + 1]
+                )
+                metas.append(meta)
+                devs.append(dev)
+            fetched = jax.device_get(devs)
+            for meta, f in zip(metas, fetched):
+                self._query_emit(meta, f, proof_stream)
 
         return top_level_indices
 

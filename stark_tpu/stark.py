@@ -47,7 +47,7 @@ from stark_tpu.ops import ntt as NTT
 from stark_tpu.ops.fieldops import GENERATOR, P, primitive_nth_root
 from stark_tpu.stream import FieldElements, MerklePath, MerkleRoot, ProofStream
 from stark_tpu.transcript import FiatShamir
-from stark_tpu.utils.profiling import reason
+from stark_tpu.utils.profiling import NULL_TIMER, reason
 
 
 @dataclass(frozen=True)
@@ -206,7 +206,7 @@ class StarkProver:
             HB.digests_to_bytes(np.asarray(HB.row_hash(jnp.asarray(trace_lde))))
         )
 
-    def prove(self, trace_rows: list[list[int]]) -> bytes:
+    def prove(self, trace_rows: list[list[int]], timer=NULL_TIMER) -> bytes:
         d, cfg = self.dom, self.cfg
         assert len(trace_rows) == d.T
         field = FiniteField()
@@ -216,53 +216,60 @@ class StarkProver:
         # 1. trace columns -> coefficients -> LDE on the coset  [device]
         # (np.asarray: zero-copy when the caller already passes an ndarray —
         # converting a 2^20-row python list costs ~0.2 s otherwise)
-        cols = np.asarray(trace_rows, dtype=np.uint64).T % P     # (c, T)
-        trace_lde = self._lde_trace(cols.astype(np.uint32))      # (c, N)
+        with timer.phase("lde"):
+            cols = np.asarray(trace_rows, dtype=np.uint64).T % P     # (c, T)
+            trace_lde = self._lde_trace(cols.astype(np.uint32))      # (c, N)
 
         # 2. commit trace
-        trace_tree = self._trace_tree(trace_lde)
-        stream.push(MerkleRoot(trace_tree.root))
-        fs.absorb(trace_tree.root.data)
+        with timer.phase("trace_commit"):
+            trace_tree = self._trace_tree(trace_lde)
+            stream.push(MerkleRoot(trace_tree.root))
+            fs.absorb(trace_tree.root.data)
 
         # 3. constraint-combination challenges
-        n_terms = d.num_transition + len(d.boundary)
-        alphas, betas = _draw_constraint_challenges(fs, field, n_terms)
+        with timer.phase("challenges"):
+            n_terms = d.num_transition + len(d.boundary)
+            alphas, betas = _draw_constraint_challenges(fs, field, n_terms)
 
         # 4. composition codeword  [device, one fused jit]
-        composition = self._compose_jit(
-            trace_lde,
-            jnp.asarray(alphas, dtype=jnp.uint32),
-            jnp.asarray(betas, dtype=jnp.uint32),
-        )
+        with timer.phase("compose"):
+            composition = self._compose_jit(
+                trace_lde,
+                jnp.asarray(alphas, dtype=jnp.uint32),
+                jnp.asarray(betas, dtype=jnp.uint32),
+            )
 
         # 5. FRI
-        top_indices = self.fri.prove(composition, fs, stream)
+        top_indices = self.fri.prove(composition, fs, stream, timer=timer)
 
         # 6. trace openings at the FRI round-0 query points — all values and
         # auth paths gathered on device, fetched in one device_get.
-        half = d.N // 2
-        query_points = []
-        for idx in top_indices:
-            a = idx % half
-            query_points.extend([a, a + half])
-        cols_idx = [
-            (qp + k * cfg.blowup) % d.N
-            for qp in query_points
-            for k in self.air.frame_offsets
-        ]
-        vals_dev = jnp.take(
-            jnp.asarray(trace_lde), jnp.asarray(cols_idx, dtype=jnp.int32), axis=1
-        )
-        sib_dev = trace_tree.open_batch_dev(cols_idx)
-        vals, sib = jax.device_get([vals_dev, sib_dev])
-        paths = (
-            trace_tree.finish_paths(MerkleTree.paths_from_dev(sib), cols_idx)
-            if sib is not None
-            else trace_tree.open_batch(cols_idx)
-        )
-        for t in range(len(cols_idx)):
-            stream.push(FieldElements(tuple(int(v) for v in vals[:, t])))
-            stream.push(MerklePath(tuple(paths[t])))
+        with timer.phase("trace_open"):
+            half = d.N // 2
+            query_points = []
+            for idx in top_indices:
+                a = idx % half
+                query_points.extend([a, a + half])
+            cols_idx = [
+                (qp + k * cfg.blowup) % d.N
+                for qp in query_points
+                for k in self.air.frame_offsets
+            ]
+            vals_dev = jnp.take(
+                jnp.asarray(trace_lde),
+                jnp.asarray(cols_idx, dtype=jnp.int32),
+                axis=1,
+            )
+            sib_dev = trace_tree.open_batch_dev(cols_idx)
+            vals, sib = jax.device_get([vals_dev, sib_dev])
+            paths = (
+                trace_tree.finish_paths(MerkleTree.paths_from_dev(sib), cols_idx)
+                if sib is not None
+                else trace_tree.open_batch(cols_idx)
+            )
+            for t in range(len(cols_idx)):
+                stream.push(FieldElements(tuple(int(v) for v in vals[:, t])))
+                stream.push(MerklePath(tuple(paths[t])))
 
         return stream.serialize()
 

@@ -4,10 +4,15 @@ The reference has no tracing or observability at all (SURVEY §5: the only
 output is ``println!`` in main.rs:13 and the verifier's error prints in
 fri.rs).  This module supplies the TPU-native equivalents:
 
-* :class:`PhaseTimer` — wall-clock per phase (LDE / commit / compose /
-  FRI round / query), accumulated into a dict; ``report()`` gives
-  points/s-style throughput lines.  Used by the CLI and benchmarks;
-  library code stays timer-free unless a timer is passed in.
+* :class:`PhaseTimer` — wall-clock per phase (LDE / trace commit /
+  compose / FRI commit / query / trace open), accumulated into a dict.
+  ``StarkProver.prove`` and ``Fri.prove`` accept ``timer=`` and wrap
+  their phases; bench.py passes one and emits the breakdown in its
+  extras.  Phases measure HOST wall time per section — device work that
+  was dispatched asynchronously is attributed to the phase that forces
+  it (the fetch), which is exactly the control-plane view needed to
+  chase host-side latency.  Library default is :data:`NULL_TIMER`
+  (zero overhead, no accumulation).
 * :func:`reason` — the verifier's failure taxonomy: prints the same
   human-readable reasons the reference prints (fri.rs:331-494) AND records
   a machine-readable (code, message) trail in ``LAST_REASONS`` for tests
@@ -61,3 +66,18 @@ class PhaseTimer:
                 f"  {name:<24} {dt*1e3:9.1f} ms  x{self.counts[name]}"
             )
         return "\n".join(lines)
+
+    def ms(self) -> dict[str, float]:
+        """{phase: milliseconds} rounded — the bench extras payload."""
+        return {k: round(v * 1e3, 1) for k, v in self.phases.items()}
+
+
+class _NullTimer(PhaseTimer):
+    """Shared no-op timer: the library default when none is passed."""
+
+    @contextmanager
+    def phase(self, name: str):
+        yield
+
+
+NULL_TIMER = _NullTimer()

@@ -116,3 +116,39 @@ class TestTamperMatrix:
         assert not v.verify(b"")
         assert not v.verify(b"\x00" * 100)
         assert not v.verify(bytes(range(256)) * 4)
+
+
+class TestPhaseTimer:
+    def test_prove_with_timer_records_phases(self):
+        from stark_tpu.utils.profiling import PhaseTimer
+
+        air = FibonacciAir()
+        cfg = StarkConfig(trace_length=64, num_colinearity_tests=4)
+        timer = PhaseTimer()
+        proof = StarkProver(air, cfg).prove(
+            fibonacci_trace_mod_p(64), timer=timer
+        )
+        assert StarkVerifier(air, cfg).verify(proof)
+        for phase in (
+            "lde",
+            "trace_commit",
+            "challenges",
+            "compose",
+            "fri_commit",
+            "fri_sample",
+            "fri_query",
+            "trace_open",
+        ):
+            assert phase in timer.phases, phase
+        assert "total" in timer.report()
+        assert set(timer.ms()) == set(timer.phases)
+
+    def test_timer_does_not_change_proof_bytes(self):
+        from stark_tpu.utils.profiling import PhaseTimer
+
+        air = FibonacciAir()
+        cfg = StarkConfig(trace_length=64, num_colinearity_tests=4)
+        trace = fibonacci_trace_mod_p(64)
+        plain = StarkProver(air, cfg).prove(trace)
+        timed = StarkProver(air, cfg).prove(trace, timer=PhaseTimer())
+        assert plain == timed
