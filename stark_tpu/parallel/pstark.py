@@ -111,7 +111,7 @@ class ShardedFri(Fri):
         a_red = alpha % PRIME
         return _fold_fn(self.mesh, n)(
             codeword,
-            self._plan.inv_x_mont[round_idx],
+            self._plan.inv_x_mont(round_idx),
             jnp.uint32(a_red),
             jnp.uint32(int(F.shoup_precompute(a_red))),
             jnp.uint32(pow(2, PRIME - 2, PRIME)),

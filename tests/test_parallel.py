@@ -118,3 +118,32 @@ class TestDistributedProver:
         p1 = StarkProver(air, cfg).prove(trace)
         p2 = DistributedStarkProver(air, cfg, make_mesh(2)).prove(trace)
         assert p1 == p2
+
+
+class TestShardedFoldFallback:
+    def test_sharded_fold_codeword_matches_single(self, mesh):
+        """Regression: the classic (non-chained) sharded fold path must call
+        the lazily-built ladder, not subscript it."""
+        from stark_tpu.fri import Fri
+        from stark_tpu.ops.fieldops import primitive_nth_root
+        from stark_tpu.parallel.pstark import ShardedFri
+
+        n = 4096
+        omega = primitive_nth_root(n)
+        args = dict(
+            omega=omega,
+            offset=3,
+            domain_length=n,
+            expansion_factor=4,
+            num_colinearity_tests=4,
+        )
+        sharded = ShardedFri(mesh=mesh, **args)
+        plain = Fri(**args)
+        rng = np.random.default_rng(3)
+        cw = rng.integers(0, 998244353, size=n, dtype=np.uint32)
+        alpha = 123456789123456789  # raw unreduced u64 challenge
+        got = np.asarray(
+            sharded.fold_codeword(_shard(cw, mesh), alpha, 0)
+        )
+        want = np.asarray(plain.fold_codeword(jnp.asarray(cw), alpha, 0))
+        assert np.array_equal(got, want)
