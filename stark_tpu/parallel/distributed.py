@@ -25,20 +25,38 @@ def initialize_distributed(
     num_processes: int | None = None,
     process_id: int | None = None,
 ):
-    """Initialize the JAX distributed runtime (idempotent-ish: skips when
-    a single process has every device or args/env are absent)."""
+    """Initialize the JAX distributed runtime.
+
+    Configuration comes from the arguments or the environment
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).  A
+    fully-absent configuration is a normal single-process run; a PARTIAL
+    one raises — a typo'd variable on a pod must fail loudly, not
+    silently prove on one process (round-1 review, weak #6)."""
     import jax
 
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
     if num_processes is None:
-        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "0")) or None
+        env = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env) if env is not None else None
     if process_id is None:
         pid = os.environ.get("JAX_PROCESS_ID")
         process_id = int(pid) if pid is not None else None
-    if not coordinator_address or not num_processes:
+    given = {
+        "coordinator_address": coordinator_address,
+        "num_processes": num_processes,
+        "process_id": process_id,
+    }
+    missing = [k for k, v in given.items() if v is None]
+    if len(missing) == 3:
         return  # single-process run
+    if missing:
+        raise RuntimeError(
+            "partial distributed configuration — set all of "
+            "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID "
+            f"(missing: {', '.join(missing)})"
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -1,0 +1,65 @@
+"""Worker for the multi-process distributed test (test_distributed.py).
+
+Each of N processes (1 virtual CPU device each) joins the cluster through
+``initialize_distributed``, then:
+
+1. runs a cross-process sharded NTT over the GLOBAL mesh (the shard this
+   process owns is built locally with jax.make_array_from_callback; the
+   four-step NTT's all_to_all actually crosses process boundaries), and
+2. proves a small Fibonacci trace with the plain single-device prover
+   (identical host program in every process — the SPMD control plane).
+
+Prints one JSON line {ntt_sha, proof_sha} for the parent to compare
+across workers and against a single-process reference.
+"""
+
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+from stark_tpu.parallel.distributed import global_mesh, initialize_distributed
+
+initialize_distributed()
+assert jax.process_count() == int(os.environ["JAX_NUM_PROCESSES"]), (
+    jax.process_count()
+)
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
+
+from stark_tpu import StarkConfig, StarkProver
+from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
+from stark_tpu.ops.fieldops import P
+from stark_tpu.parallel import pntt
+from stark_tpu.parallel.mesh import AXIS
+
+mesh = global_mesh()
+D = mesh.devices.size
+
+# -- 1. cross-process sharded NTT ------------------------------------------
+n = 1 << 10
+rng = np.random.default_rng(11)
+x = rng.integers(0, P, size=n, dtype=np.uint32)  # same on every process
+sharding = NamedSharding(mesh, PartitionSpec(AXIS))
+xs = jax.make_array_from_callback(
+    (n,), sharding, lambda idx: x[idx]
+)
+y = pntt.sharded_ntt(xs, mesh)
+# Replicate so every process can fetch the full result.
+y_rep = jax.jit(
+    lambda a: a, out_shardings=NamedSharding(mesh, PartitionSpec())
+)(y)
+ntt_sha = hashlib.sha256(np.asarray(y_rep).tobytes()).hexdigest()
+
+# -- 2. identical-control-plane proof --------------------------------------
+cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=4)
+proof = StarkProver(FibonacciAir(), cfg).prove(fibonacci_trace_mod_p(64))
+proof_sha = hashlib.sha256(proof).hexdigest()
+
+print(json.dumps({"ntt_sha": ntt_sha, "proof_sha": proof_sha}))
+sys.stdout.flush()
