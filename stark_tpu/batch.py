@@ -177,15 +177,39 @@ def _batched_alpha_fn(B: int, length: int):
 
 class BatchStarkProver:
     """Prove B same-shape traces at once; proofs byte-identical to B
-    single-prover runs (docstring at module top)."""
+    single-prover runs (docstring at module top).
 
-    def __init__(self, air, cfg: StarkConfig, batch: int):
+    With ``mesh`` the batched pipeline ALSO runs domain-sharded: the trace
+    columns enter the device committed to a (None, None, AXIS) sharding and
+    GSPMD propagates it through every batched kernel (iNTT, LDE, compose,
+    forest levels, folds), inserting the collectives — same composition
+    strategy as parallel/pstark.py, same bytes (tested byte-identical to
+    single-device single-proof runs on the virtual mesh)."""
+
+    def __init__(self, air, cfg: StarkConfig, batch: int, mesh=None):
         self.air = air
         self.cfg = cfg
         self.B = batch
+        self.mesh = mesh
         self._single = StarkProver(air, cfg)
         self.fri = self._single.fri
         self._compose_v = jax.jit(jax.vmap(self._single._compose_impl))
+
+    def _place_cols(self, cols):
+        """Commit (B, c, T) trace columns to the mesh's domain sharding
+        (no-op without a mesh or for unshardable T)."""
+        if self.mesh is None:
+            return cols
+        from jax.sharding import NamedSharding, PartitionSpec
+        from stark_tpu.parallel.mesh import AXIS
+
+        D = self.mesh.devices.size
+        if cols.shape[-1] % D != 0:
+            return cols
+        return jax.device_put(
+            jnp.asarray(cols),
+            NamedSharding(self.mesh, PartitionSpec(None, None, AXIS)),
+        )
 
     def prove_batch(self, traces: list[list[list[int]]]) -> list[bytes]:
         B, cfg, d = self.B, self.cfg, self._single.dom
@@ -199,7 +223,7 @@ class BatchStarkProver:
         cols = (
             np.asarray(traces, dtype=np.uint64).transpose(0, 2, 1) % P
         ).astype(np.uint32)                                 # (B, c, T)
-        coeffs = NTT.intt(cols)
+        coeffs = NTT.intt(self._place_cols(cols))
         trace_lde = NTT.lde(coeffs, cfg.blowup, d.offset)   # (B, c, N)
         trace_forest = BatchedTrees.from_rows(
             trace_lde, B, self.air.num_registers, d.N
