@@ -101,30 +101,46 @@ def _intt_jit(x, n: int):
     return _ntt_core(x, get_plan(n, inverse=True))
 
 
+def _fused_dispatch(x, inverse: bool):
+    """Route (…, n) transforms through the fused Pallas engine where it
+    applies: 1-D directly; small-batch 2-D (the trace-column LDE shape)
+    row-by-row — rows are independent transforms and c is tiny (a few
+    registers), so c fused chains beat c extra Stockham HBM sweeps.
+    Returns None when the fused engine does not apply."""
+    from stark_tpu.ops import ntt_fused as NTF
+
+    n = x.shape[-1]
+    if NTF.fused_available(n, x.shape):
+        return NTF.fused_ntt(x, inverse=inverse)
+    if (
+        x.ndim == 2
+        and x.shape[0] <= 8
+        and NTF.fused_available(n, x.shape[-1:])
+    ):
+        return jnp.stack([NTF.fused_ntt(row, inverse=inverse) for row in x])
+    return None
+
+
 def ntt(coeffs):
     """Forward NTT: coeffs (..., n) -> evaluations at omega^i, natural order.
 
-    Large 1-D transforms on TPU dispatch to the fused multi-stage Pallas
+    Large transforms on TPU dispatch to the fused multi-stage Pallas
     engine (ops/ntt_fused.py — identical values, ~4 HBM passes instead of
     log2 n); everything else takes the XLA Stockham chain."""
     coeffs = jnp.asarray(coeffs, dtype=jnp.uint32)
-    n = coeffs.shape[-1]
-    from stark_tpu.ops import ntt_fused as NTF
-
-    if NTF.fused_available(n, coeffs.shape):
-        return NTF.fused_ntt(coeffs)
-    return _ntt_jit(coeffs, n)
+    fused = _fused_dispatch(coeffs, inverse=False)
+    if fused is not None:
+        return fused
+    return _ntt_jit(coeffs, coeffs.shape[-1])
 
 
 def intt(evals):
     """Inverse NTT: evaluations at omega^i -> coefficients."""
     evals = jnp.asarray(evals, dtype=jnp.uint32)
-    n = evals.shape[-1]
-    from stark_tpu.ops import ntt_fused as NTF
-
-    if NTF.fused_available(n, evals.shape):
-        return NTF.fused_ntt(evals, inverse=True)
-    return _intt_jit(evals, n)
+    fused = _fused_dispatch(evals, inverse=True)
+    if fused is not None:
+        return fused
+    return _intt_jit(evals, evals.shape[-1])
 
 
 # ---------------------------------------------------------------------------
