@@ -21,14 +21,18 @@ def enable_compilation_cache(
 ) -> None:
     import jax
 
-    try:
-        if jax.default_backend() == "cpu" and not allow_cpu:
-            # XLA:CPU persists AOT machine code whose feature flags can
-            # mismatch across hosts (SIGILL risk); opt in (tests do — the
-            # cache is written and read on the same machine).
+    if not allow_cpu:
+        # jax.default_backend() initialises the XLA backend, which must not
+        # happen before jax.distributed.initialize() — only probe it when
+        # the answer can matter (allow_cpu=False).
+        try:
+            if jax.default_backend() == "cpu":
+                # XLA:CPU persists AOT machine code whose feature flags can
+                # mismatch across hosts (SIGILL risk); opt in (tests do — the
+                # cache is written and read on the same machine).
+                return
+        except Exception:
             return
-    except Exception:
-        return
     path = path or os.environ.get("STARK_TPU_JAX_CACHE", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
     try:

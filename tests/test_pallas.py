@@ -32,7 +32,7 @@ def test_fold_pallas_matches_jnp():
         PK.fold_pallas(
             codeword[: n // 2],
             codeword[n // 2 :],
-            fri._plan.inv_x_mont[0],
+            fri._plan.inv_x_mont(0),
             scalars,
             interpret=True,
         )
