@@ -94,6 +94,38 @@ def _fold_kernel_dynamic(a, b, inv_x_mont, alpha_red, inv2_w, inv2_ws):
     return F.shoup_mul(F.addmod(s, u), inv2_w, inv2_ws)
 
 
+@functools.lru_cache(maxsize=None)
+def _commit_round_fn(W: int, L: int):
+    """ONE dispatch for a full device-chain commit round at codeword width
+    ``W`` (<= hash_batch.FUSE_MAX_WIDTH) with transcript length ``L``:
+    leaf hash + every Merkle level + root append + challenge (mod p) +
+    fold.  Dispatch latency through the relay (~1.3 ms/call) dominates
+    this round's compute, so fusing the round is worth ~4x per round over
+    separate tree/concat/alpha/fold calls (fri.rs:116-147 is the per-round
+    contract being fused)."""
+    from stark_tpu.ops import hash_batch as HB
+
+    half = W // 2
+
+    def fn(codeword, transcript, inv_x_mont, inv2_w, inv2_ws):
+        v2d = (
+            codeword.reshape(W // HB.LANE, HB.LANE)
+            if W >= 2 * HB.LANE
+            else codeword[None, :]
+        )
+        leaf = HB.leaf_hash_rows_core(v2d, rolled=True)
+        levels, root = HB._tail_levels_core(leaf)
+        new_t = jnp.concatenate([transcript, root])
+        alpha_red = HB.transcript_alpha_core(new_t[None, :], rolled=True)[0]
+        s = F.addmod(codeword[:half], codeword[half:])
+        d = F.submod(codeword[:half], codeword[half:])
+        t = F.mont_mul(inv_x_mont, alpha_red)
+        folded = F.shoup_mul(F.addmod(s, F.mulmod(t, d)), inv2_w, inv2_ws)
+        return leaf, levels, root, new_t, alpha_red, folded
+
+    return jax.jit(fn)
+
+
 class FriPlan:
     """Per-(domain, omega, offset) precomputation: the inverse-x ladder of
     each round, in Montgomery form (offset and omega square per round,
@@ -225,6 +257,11 @@ class Fri:
     #: end.  Disabled in subclasses whose trees are not full-device.
     device_chain = True
 
+    #: Fuse each whole commit round (tree + root + challenge + fold) into
+    #: one dispatch when the codeword fits FUSE_MAX_WIDTH.  Subclasses with
+    #: sharded trees/folds disable this and keep the per-piece chain.
+    fused_round = True
+
     def commit(self, initial_codeword, proof_stream: ProofStream, fiat_shamir):
         """Returns (codewords, trees): the recorded codewords exactly as
         fri.rs:140+151-153 records them, plus their Merkle trees (cached for
@@ -258,24 +295,47 @@ class Fri:
             # the STARK layer's trace root + constraint-challenge bytes) —
             # challenges hash the ENTIRE transcript (fiat_shamir.rs:19-25).
             prefix = bytes(fiat_shamir.transcript)
-            transcript_dev = (
-                jnp.asarray(np.frombuffer(prefix, dtype=np.uint8))
+            transcript_dev = jnp.asarray(
+                np.frombuffer(prefix, dtype=np.uint8)
                 if prefix
-                else None
+                else np.zeros((0,), dtype=np.uint8)
             )
             root_devs: list = []
             alpha_devs: list = []
             while r < rounds:
+                W = int(codeword.shape[0])
+                if (
+                    self.fused_round
+                    and r < rounds - 1
+                    and W <= HB.FUSE_MAX_WIDTH
+                ):
+                    # Whole round (tree + root + challenge + fold) fused
+                    # into one dispatch.  The PRE-fold codeword is what the
+                    # round records (fri.rs:140).
+                    leaf, levels, root_bytes, transcript_dev, alpha_red, folded = _commit_round_fn(
+                        W, int(transcript_dev.shape[0])
+                    )(
+                        codeword,
+                        transcript_dev,
+                        self._plan.inv_x_mont(r),
+                        jnp.uint32(_INV2),
+                        jnp.uint32(_INV2_SHOUP),
+                    )
+                    tree = MerkleTree(_dev_levels=(leaf,) + levels)
+                    tree._root_bytes_dev_cached = root_bytes
+                    root_devs.append(root_bytes)
+                    alpha_devs.append(alpha_red)
+                    codewords.append(codeword)
+                    trees.append(tree)
+                    codeword = folded
+                    r += 1
+                    continue
                 tree = self.build_tree_full_device(codeword)
                 if tree is None:
                     break
                 root_bytes = tree.root_bytes_dev()
                 root_devs.append(root_bytes)
-                transcript_dev = (
-                    root_bytes
-                    if transcript_dev is None
-                    else jnp.concatenate([transcript_dev, root_bytes])
-                )
+                transcript_dev = jnp.concatenate([transcript_dev, root_bytes])
                 if r == rounds - 1:
                     last_tree = tree
                     r += 1

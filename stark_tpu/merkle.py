@@ -100,6 +100,7 @@ class MerkleTree:
             self._top_levels = _top_levels
         self._host_all = None
         self._root = None
+        self._root_bytes_dev_cached = None
 
     # -- constructors --------------------------------------------------------
 
@@ -149,15 +150,20 @@ class MerkleTree:
 
     @staticmethod
     def _finish_device(leaf_rows) -> "MerkleTree":
-        """Per-level device combines (row-tuple layout) down to the
-        host/device boundary, then the narrow top on host (one small
-        transfer)."""
+        """Device build from leaf digests: per-level combines (one jit per
+        width, shared across rounds) while wide, then the fused tail builder
+        (ops/hash_batch.tail_levels) takes everything at or below
+        ``FUSE_MAX_WIDTH`` to the root in ONE dispatch — dispatch latency
+        through the relay (~1.3 ms/call) dominates the narrow levels'
+        compute.  The result is a FULL-device tree (root on device)."""
         dev = [leaf_rows]
-        while _rows_width(dev[-1]) >= 2 * _DEVICE_MIN_WIDTH:
+        while _rows_width(dev[-1]) > HB.FUSE_MAX_WIDTH:
             dev.append(HB.level_rows(dev[-1]))
-        boundary = HB.level_rows(dev[-1])  # width W_min/2 .. < W_min
-        top = _build_host_levels(_rows_to_host_bytes(boundary))
-        return MerkleTree(_dev_levels=tuple(dev), _top_levels=top)
+        tail, root = HB.tail_levels(dev[-1])
+        dev.extend(tail)
+        tree = MerkleTree(_dev_levels=tuple(dev))
+        tree._root_bytes_dev_cached = root
+        return tree
 
     @staticmethod
     def from_leaf_values_full_device(values) -> "MerkleTree":
@@ -165,23 +171,37 @@ class MerkleTree:
         host synchronization at all.  Used by the device-chained FRI commit,
         which consumes the root digest on device (ops/hash_batch.
         device_transcript_alpha) and fetches every round's root in one
-        batched transfer afterwards."""
+        batched transfer afterwards.  Widths in [256, FUSE_MAX_WIDTH] build
+        leaf hash + every level in ONE dispatch (hash_batch.tree_from_values)."""
         import jax.numpy as jnp
 
         n = int(values.shape[0])
-        assert n > 0 and n & (n - 1) == 0
+        assert n > 1 and n & (n - 1) == 0
         v = jnp.asarray(values, dtype=jnp.uint32)
         v2d = (
-            v.reshape(n // HB.LANE, HB.LANE) if n >= HB.LANE else v[None, :]
+            v.reshape(n // HB.LANE, HB.LANE)
+            if n >= 2 * HB.LANE
+            else v[None, :]
         )
+        if n <= HB.FUSE_MAX_WIDTH:
+            leaf, tail, root = HB.tree_from_values(v2d)
+            tree = MerkleTree(_dev_levels=(leaf,) + tail)
+            tree._root_bytes_dev_cached = root
+            return tree
         dev = [HB.leaf_hash_rows(v2d)]
-        while _rows_width(dev[-1]) > 1:
+        while _rows_width(dev[-1]) > HB.FUSE_MAX_WIDTH:
             dev.append(HB.level_rows(dev[-1]))
-        return MerkleTree(_dev_levels=tuple(dev))
+        tail, root = HB.tail_levels(dev[-1])
+        dev.extend(tail)
+        tree = MerkleTree(_dev_levels=tuple(dev))
+        tree._root_bytes_dev_cached = root
+        return tree
 
     def root_bytes_dev(self):
         """(32,) u8 device root digest (full-device trees only)."""
         assert self._top_levels is None
+        if self._root_bytes_dev_cached is not None:
+            return self._root_bytes_dev_cached
         return HB.root_bytes_from_rows(self._dev_levels[-1])
 
     # -- level access --------------------------------------------------------

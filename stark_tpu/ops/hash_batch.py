@@ -67,6 +67,22 @@ def _mix_rows(s):
     return [(new[i] + int(rc[i])) & _MASK8 for i in range(32)]
 
 
+def _mix_rows_loop(s, n: int):
+    """``n`` identical mix rounds via fori_loop (jnp only).
+
+    The mix round is data-independent — hash.rs:59-86 applies the SAME
+    constants table every round — so the ~250-op body can be traced once
+    instead of unrolled n times.  Used by the narrow/fused kernels where
+    XLA compile time, not HBM bandwidth, is the binding constraint (an
+    unrolled mix chain fuses better and is kept for the wide leaf/level
+    kernels)."""
+    return list(
+        jax.lax.fori_loop(
+            0, n, lambda i, st: tuple(_mix_rows(list(st))), tuple(s)
+        )
+    )
+
+
 def _init_rows(xp, shape):
     if isinstance(shape, int):
         shape = (shape,)
@@ -172,10 +188,12 @@ def row_hash_core(xp, values):
 LANE = 128
 
 
-def leaf_hash_rows_core(values2d):
+def leaf_hash_rows_core(values2d, rolled: bool = False):
     """(R, 128) uint32 values -> tuple of 32 (R, 128) u8 digest rows."""
     state = _init_rows(jnp, values2d.shape)
     state = _absorb_rows(state, _value_rows(values2d))
+    if rolled:
+        return tuple(_mix_rows_loop(state, 1 + 8))
     for _ in range(1 + 8):
         state = _mix_rows(state)
     return tuple(state)
@@ -197,12 +215,14 @@ def row_hash_rows_core(cols):
     return tuple(state)
 
 
-def combine_rows_core(left, right):
+def combine_rows_core(left, right, rolled: bool = False):
     """Two row-tuples -> combined row-tuple (Hash::combine per lane)."""
     state = _init_rows(jnp, left[0].shape)
     state = _absorb_rows(state, list(left))
     state = _mix_rows(state)
     state = _absorb_rows(state, list(right))
+    if rolled:
+        return tuple(_mix_rows_loop(state, 1 + 8))
     for _ in range(1 + 8):
         state = _mix_rows(state)
     return tuple(state)
@@ -224,6 +244,125 @@ def level_rows_core(rows):
         left = tuple(r[:, 0::2].reshape(R // 2, LANE) for r in rows)
         right = tuple(r[:, 1::2].reshape(R // 2, LANE) for r in rows)
     return combine_rows_core(left, right)
+
+
+# ---------------------------------------------------------------------------
+# Fused tail-tree builder: ALL Merkle levels below a cutover width in ONE
+# dispatch.
+#
+# Per-level jits cost one device dispatch each (~1.3 ms through the axon
+# relay), so a tree's narrow tail — log2(W) levels of trivial compute —
+# costs more in dispatch latency than the wide levels cost in HBM traffic.
+# Chaining levels into one unrolled jit is a known negative result (XLA
+# compile time scales with the ~2k inlined hash ops PER level; see
+# NOTES.md).  A lax.fori_loop traces the combine body ONCE and runs it
+# log2(W) times over a fixed-width carry: each iteration combines the full
+# padded width (garbage lanes beyond the valid prefix are hashed and
+# ignored), so shapes stay static.  Wasted compute is L*W/2 lane-combines
+# versus W exact — at the 2^16 cutover that is ~0.5 M lanes (< 1 ms)
+# replacing 16 dispatches (~20 ms).
+#
+# Valid-prefix invariant: level nodes are row-major over (R, 128) tiles;
+# pairs (2j, 2j+1) are lane-adjacent.  The deinterleave r[:, 0::2]
+# .reshape(R//2, 128) maps prefix elements to prefix positions, so a valid
+# prefix of w nodes yields a valid prefix of w/2 parents, down to width 1
+# at [0, 0].
+# ---------------------------------------------------------------------------
+
+#: Tree levels at or below this width are built by the fused tail builder
+#: (one dispatch); wider levels use per-level jits (shared across rounds).
+FUSE_MAX_WIDTH = 1 << 16
+
+
+def _tail_levels_core(leaf_rows):
+    """Row-tuple at width W -> (levels, root_bytes): every level below the
+    input down to width 1 (row-tuple layout, widest first) plus the (32,)
+    u8 root digest.  Traced inline; one fori_loop whose combine body is
+    traced ONCE (unrolling levels is the known compile-time blowup).
+    Handles both the tiled (R, 128) layout (R >= 2) and the sub-tile
+    (1, w) layout (w >= 2)."""
+    R = int(leaf_rows[0].shape[0])
+    if R == 1:
+        return _tail_levels_narrow(leaf_rows)
+    W = R * LANE
+    L = W.bit_length() - 1  # levels produced: widths W/2 .. 1
+    Rh = R // 2
+
+    def body(i, carry):
+        cur, out = carry
+        left = tuple(c[:, 0::2].reshape(Rh, LANE) for c in cur)
+        right = tuple(c[:, 1::2].reshape(Rh, LANE) for c in cur)
+        par = combine_rows_core(left, right, rolled=True)
+        out = tuple(o.at[i].set(p) for o, p in zip(out, par))
+        # Refill the carry to full (R, 128); the bottom half is garbage
+        # beyond the (halved) valid prefix.
+        cur = tuple(jnp.concatenate([p, p], axis=0) for p in par)
+        return cur, out
+
+    out0 = tuple(jnp.zeros((L, Rh, LANE), jnp.uint8) for _ in range(32))
+    _, out = jax.lax.fori_loop(0, L, body, (tuple(leaf_rows), out0))
+
+    levels = []
+    for i in range(L):
+        w = W >> (i + 1)
+        if w >= LANE:
+            levels.append(tuple(out[b][i, : w // LANE, :] for b in range(32)))
+        else:
+            levels.append(tuple(out[b][i, :1, :w] for b in range(32)))
+    root = jnp.stack([out[b][L - 1, 0, 0] for b in range(32)])
+    return tuple(levels), root
+
+
+def _tail_levels_narrow(leaf_rows):
+    """Sub-tile variant: 32 x (1, w) rows, w >= 2 a power of two."""
+    w = int(leaf_rows[0].shape[1])
+    L = w.bit_length() - 1
+    wh = w // 2
+
+    def body(i, carry):
+        cur, out = carry
+        left = tuple(c[:, 0::2] for c in cur)
+        right = tuple(c[:, 1::2] for c in cur)
+        par = combine_rows_core(left, right, rolled=True)  # 32 x (1, wh)
+        out = tuple(o.at[i].set(p[0]) for o, p in zip(out, par))
+        cur = tuple(jnp.concatenate([p, p], axis=1) for p in par)
+        return cur, out
+
+    out0 = tuple(jnp.zeros((L, wh), jnp.uint8) for _ in range(32))
+    _, out = jax.lax.fori_loop(0, L, body, (tuple(leaf_rows), out0))
+    levels = tuple(
+        tuple(out[b][i, : w >> (i + 1)][None, :] for b in range(32))
+        for i in range(L)
+    )
+    root = jnp.stack([out[b][L - 1, 0] for b in range(32)])
+    return levels, root
+
+
+@functools.lru_cache(maxsize=None)
+def _tail_levels_fn(shape):
+    return jax.jit(_tail_levels_core)
+
+
+def tail_levels(rows):
+    """One-dispatch tail build below a width-W row-tuple (W >= 2)."""
+    return _tail_levels_fn(tuple(rows[0].shape))(rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_from_values_fn(shape):
+    """Leaf hash + full tail in ONE dispatch: (R, 128) or (1, w) u32
+    values -> (leaf_rows, levels, root_bytes)."""
+
+    def fn(v2d):
+        leaf = leaf_hash_rows_core(v2d, rolled=True)
+        levels, root = _tail_levels_core(leaf)
+        return leaf, levels, root
+
+    return jax.jit(fn)
+
+
+def tree_from_values(v2d):
+    return _tree_from_values_fn(tuple(v2d.shape))(v2d)
 
 
 def rows_to_stacked(rows):
@@ -256,33 +395,53 @@ level_rows = jax.jit(level_rows_core)
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def _transcript_alpha_fn(length: int, B: int = 1):
-    """Jitted (B, length) u8 transcripts -> (B,) alpha mod p.
-    Arbitrary length; chunking matches hash.rs:13-27 (partial last chunk
-    absorbed then mixed)."""
-    assert length > 0
+def transcript_alpha_core(transcripts, rolled: bool = False):
+    """(B, length) u8 transcripts -> (B,) alpha mod p.  Traceable inline;
+    length is read from the static shape.  Chunking matches hash.rs:13-27
+    (partial last chunk absorbed then mixed).  ``rolled`` runs the full
+    32-byte chunks through a lax.scan and the final mixes through a
+    fori_loop — same bytes, ~7x smaller graph (compile-time path)."""
     from stark_tpu.ops import fieldops as F
     from stark_tpu.ops.fieldops import P
 
-    def fn(transcripts):
-        state = _init_rows(jnp, (B,))
-        for c in range(0, length, 32):
-            size = min(32, length - c)
-            chunk = [transcripts[:, c + i] for i in range(size)]
-            state = _absorb_rows(state, chunk)
-            state = _mix_rows(state)
+    B, length = transcripts.shape
+    assert length > 0
+    state = _init_rows(jnp, (B,))
+    fc = length // 32
+    if rolled and fc > 1:
+        xs = transcripts[:, : 32 * fc].reshape(B, fc, 32).transpose(1, 0, 2)
+
+        def chunk_body(st, x):
+            st = _absorb_rows(list(st), [x[:, i] for i in range(32)])
+            return tuple(_mix_rows(st)), None
+
+        state, _ = jax.lax.scan(chunk_body, tuple(state), xs)
+        state = list(state)
+        start = 32 * fc
+    else:
+        start = 0
+    for c in range(start, length, 32):
+        size = min(32, length - c)
+        chunk = [transcripts[:, c + i] for i in range(size)]
+        state = _absorb_rows(state, chunk)
+        state = _mix_rows(state)
+    if rolled:
+        state = _mix_rows_loop(state, 8)
+    else:
         for _ in range(8):
             state = _mix_rows(state)
-        acc = jnp.zeros((B,), jnp.uint32)
-        for i in range(8):
-            term = F.mulmod(
-                state[i].astype(jnp.uint32), jnp.uint32(pow(2, 8 * i, P))
-            )
-            acc = F.addmod(acc, term)
-        return acc
+    acc = jnp.zeros((B,), jnp.uint32)
+    for i in range(8):
+        term = F.mulmod(
+            state[i].astype(jnp.uint32), jnp.uint32(pow(2, 8 * i, P))
+        )
+        acc = F.addmod(acc, term)
+    return acc
 
-    return jax.jit(fn)
+
+@functools.lru_cache(maxsize=None)
+def _transcript_alpha_fn(length: int, B: int = 1):
+    return jax.jit(transcript_alpha_core)
 
 
 def device_transcript_alpha(transcript):

@@ -68,8 +68,11 @@ class ShardedFri(Fri):
     """
 
     # Sharded trees are full-device (parallel/pmerkle.py), so the zero-sync
-    # commit chain applies on the mesh too.
+    # commit chain applies on the mesh too.  The single-device fused-round
+    # kernel is disabled: narrow rounds here carry mesh-sharded arrays whose
+    # placement the per-piece chain handles explicitly.
     device_chain = True
+    fused_round = False
 
     def build_tree_full_device(self, codeword):
         n = int(codeword.shape[0])
