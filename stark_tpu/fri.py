@@ -114,14 +114,45 @@ def _commit_round_fn(W: int, L: int):
             else codeword[None, :]
         )
         leaf = HB.leaf_hash_rows_core(v2d, rolled=True)
-        levels, root = HB._tail_levels_core(leaf)
+        levels, root, stack = HB._tail_levels_core(leaf)
         new_t = jnp.concatenate([transcript, root])
         alpha_red = HB.transcript_alpha_core(new_t[None, :], rolled=True)[0]
         s = F.addmod(codeword[:half], codeword[half:])
         d = F.submod(codeword[:half], codeword[half:])
         t = F.mont_mul(inv_x_mont, alpha_red)
         folded = F.shoup_mul(F.addmod(s, F.mulmod(t, d)), inv2_w, inv2_ws)
-        return leaf, levels, root, new_t, alpha_red, folded
+        return leaf, levels, root, new_t, alpha_red, folded, stack
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _query_gather_fn(key):
+    """ONE dispatch for the whole FRI query phase: per round, the (a, b)
+    and c codeword values plus both trees' full sibling paths (fri.rs:
+    215-248's reads, batched).  ``key`` pins the static structure
+    (codeword lengths, per-tree path lengths / pre-level counts / stack
+    presence); arrays arrive as jit arguments so values never bake into
+    the compiled graph."""
+    from stark_tpu.merkle import path_gather_dev
+
+    lengths, n_paths, _n_pres, _has_stack = key
+    R = len(lengths)
+
+    def fn(cws, tree_ops, ab_list, c_list):
+        outs = []
+        for i in range(R - 1):
+            cur_pre, cur_stack = tree_ops[i]
+            nxt_pre, nxt_stack = tree_ops[i + 1]
+            outs.append(
+                (
+                    jnp.take(cws[i], ab_list[i]),
+                    jnp.take(cws[i + 1], c_list[i]),
+                    path_gather_dev(cur_pre, cur_stack, ab_list[i], n_paths[i]),
+                    path_gather_dev(nxt_pre, nxt_stack, c_list[i], n_paths[i + 1]),
+                )
+            )
+        return outs
 
     return jax.jit(fn)
 
@@ -262,7 +293,15 @@ class Fri:
     #: sharded trees/folds disable this and keep the per-piece chain.
     fused_round = True
 
-    def commit(self, initial_codeword, proof_stream: ProofStream, fiat_shamir):
+    def commit(
+        self,
+        initial_codeword,
+        proof_stream: ProofStream,
+        fiat_shamir,
+        transcript_dev_prefix=None,
+        extra_fetch=None,
+        prefix_replay=None,
+    ):
         """Returns (codewords, trees): the recorded codewords exactly as
         fri.rs:140+151-153 records them, plus their Merkle trees (cached for
         the query phase; the reference rebuilds identical trees).
@@ -277,7 +316,14 @@ class Fri:
         the traced alpha.  The host then fetches all roots at once, replays
         the transcript byte-exactly (asserting the device alphas agree),
         and finishes any narrow rounds classically.
-        """
+
+        ``transcript_dev_prefix`` extends the chain UPSTREAM: a device (L,)
+        u8 transcript (e.g. the STARK layer's trace root + constraint
+        challenge bytes, never yet fetched) seeds the chain instead of the
+        host transcript; ``prefix_replay(fetched_extras)`` then rebuilds
+        the host-side prefix (pushing its stream objects and absorbing
+        into ``fiat_shamir``) from ``extra_fetch``'s arrays, which ride the
+        same batched root fetch."""
         from stark_tpu.merkle import _DEVICE_MIN_WIDTH
 
         codeword = jnp.asarray(initial_codeword, dtype=jnp.uint32)
@@ -295,11 +341,17 @@ class Fri:
             # the STARK layer's trace root + constraint-challenge bytes) —
             # challenges hash the ENTIRE transcript (fiat_shamir.rs:19-25).
             prefix = bytes(fiat_shamir.transcript)
-            transcript_dev = jnp.asarray(
-                np.frombuffer(prefix, dtype=np.uint8)
-                if prefix
-                else np.zeros((0,), dtype=np.uint8)
-            )
+            if transcript_dev_prefix is not None:
+                assert not prefix, (
+                    "device transcript prefix and host prefix are exclusive"
+                )
+                transcript_dev = transcript_dev_prefix
+            else:
+                transcript_dev = jnp.asarray(
+                    np.frombuffer(prefix, dtype=np.uint8)
+                    if prefix
+                    else np.zeros((0,), dtype=np.uint8)
+                )
             root_devs: list = []
             alpha_devs: list = []
             while r < rounds:
@@ -312,7 +364,7 @@ class Fri:
                     # Whole round (tree + root + challenge + fold) fused
                     # into one dispatch.  The PRE-fold codeword is what the
                     # round records (fri.rs:140).
-                    leaf, levels, root_bytes, transcript_dev, alpha_red, folded = _commit_round_fn(
+                    leaf, levels, root_bytes, transcript_dev, alpha_red, folded, stack = _commit_round_fn(
                         W, int(transcript_dev.shape[0])
                     )(
                         codeword,
@@ -323,6 +375,8 @@ class Fri:
                     )
                     tree = MerkleTree(_dev_levels=(leaf,) + levels)
                     tree._root_bytes_dev_cached = root_bytes
+                    tree._tail_stack = stack
+                    tree._tail_first = 1
                     root_devs.append(root_bytes)
                     alpha_devs.append(alpha_red)
                     codewords.append(codeword)
@@ -354,10 +408,21 @@ class Fri:
                 )
                 r += 1
             # One batched fetch for every root (+ device alphas, asserted
-            # against the host transcript replay below).
-            if root_devs:
-                fetched = jax.device_get([root_devs, alpha_devs])
-                roots_host, alphas_host = fetched
+            # against the host transcript replay below; + the caller's
+            # upstream-prefix arrays; + the final codeword when the chain
+            # covered every round — saving its separate sync).
+            if root_devs or extra_fetch:
+                fetched = jax.device_get(
+                    [
+                        extra_fetch or [],
+                        root_devs,
+                        alpha_devs,
+                        codeword if r == rounds else None,
+                    ]
+                )
+                extras_host, roots_host, alphas_host, last_host = fetched
+                if prefix_replay is not None:
+                    prefix_replay(extras_host)
                 for i, rb in enumerate(roots_host):
                     root = Hash(np.asarray(rb).astype(np.uint8).tobytes())
                     trees_i = trees[i] if i < len(trees) else last_tree
@@ -372,6 +437,15 @@ class Fri:
                             raise RuntimeError(
                                 "device/host transcript divergence"
                             )
+            else:
+                last_host = None
+        else:
+            last_host = None
+        if transcript_dev_prefix is not None and r < rounds:
+            raise RuntimeError(
+                "upstream device prefix requires the chain to cover every "
+                "round (got a fallback at round %d)" % r
+            )
 
         # -- phase 2: classic rounds (narrow codewords) --------------------
         while r < rounds:
@@ -389,7 +463,9 @@ class Fri:
             codeword = self.fold_codeword(codeword, alpha.value, r)
             r += 1
 
-        last_np = np.asarray(codeword)
+        last_np = (
+            np.asarray(last_host) if last_host is not None else np.asarray(codeword)
+        )
         proof_stream.push(FieldElements(tuple(int(v) for v in last_np)))
         codewords.append(codeword)
         trees.append(last_tree)
@@ -524,7 +600,17 @@ class Fri:
         fiat_shamir,
         proof_stream: ProofStream,
         timer=NULL_TIMER,
+        extra_dispatch=None,
+        extra_emit=None,
+        transcript_dev_prefix=None,
+        extra_fetch=None,
+        prefix_replay=None,
     ):
+        """extra_dispatch(top_level_indices) -> (meta, device_pytree) lets a
+        caller (the STARK layer's trace openings) ride the query phase's
+        single device fetch; extra_emit(meta, fetched) consumes it after.
+        transcript_dev_prefix / extra_fetch / prefix_replay extend the
+        commit chain upstream (see :meth:`commit`)."""
         initial_codeword = jnp.asarray(initial_codeword, dtype=jnp.uint32)
         assert self.domain_length == initial_codeword.shape[0], (
             "initial codeword length does not match domain length"
@@ -532,7 +618,12 @@ class Fri:
 
         with timer.phase("fri_commit"):
             codewords, trees = self.commit(
-                initial_codeword, proof_stream, fiat_shamir
+                initial_codeword,
+                proof_stream,
+                fiat_shamir,
+                transcript_dev_prefix=transcript_dev_prefix,
+                extra_fetch=extra_fetch,
+                prefix_replay=prefix_replay,
             )
 
         with timer.phase("fri_sample"):
@@ -551,23 +642,69 @@ class Fri:
             )
             indices = list(top_level_indices)
 
-        # Dispatch every round's gathers, then ONE device_get for all of
-        # them: the per-round reads are independent once the indices are
-        # known, so the whole query phase costs a single host round-trip.
+        # The whole query phase costs ONE device dispatch (a fused gather
+        # over every round's values and sibling paths — indices are host
+        # ints, so per-round reductions are precomputed here) and ONE
+        # device fetch.  Trees without tail stacks (sharded subclasses)
+        # fall back to per-round dispatches, still fetched once.
         with timer.phase("fri_query"):
-            metas, devs = [], []
-            for i in range(len(codewords) - 1):
-                indices = [
-                    idx % (int(codewords[i].shape[0]) // 2) for idx in indices
-                ]
-                meta, dev = self._query_dispatch(
-                    codewords[i], codewords[i + 1], indices, trees[i], trees[i + 1]
+            metas = []
+            mega = (
+                self.fused_round
+                and len(codewords) > 1
+                and all(
+                    t._top_levels is None and t._dev_levels for t in trees
                 )
-                metas.append(meta)
-                devs.append(dev)
-            fetched = jax.device_get(devs)
+            )
+            if mega:
+                idx_cur = list(indices)
+                ab_list, c_list = [], []
+                for i in range(len(codewords) - 1):
+                    half = int(codewords[i].shape[0]) // 2
+                    idx_cur = [ix % half for ix in idx_cur]
+                    a = list(idx_cur)
+                    b = [x + half for x in a]
+                    metas.append((a, b, list(idx_cur), trees[i], trees[i + 1]))
+                    ab_list.append(jnp.asarray(a + b, dtype=jnp.int32))
+                    c_list.append(jnp.asarray(idx_cur, dtype=jnp.int32))
+                tree_ops, n_paths = [], []
+                for t in trees:
+                    ops_t, n_path = t.gather_operands()
+                    tree_ops.append(ops_t)
+                    n_paths.append(n_path)
+                key = (
+                    tuple(int(c.shape[0]) for c in codewords),
+                    tuple(n_paths),
+                    tuple(len(ops_t[0]) for ops_t in tree_ops),
+                    tuple(ops_t[1] is not None for ops_t in tree_ops),
+                )
+                dev = _query_gather_fn(key)(
+                    list(codewords), tree_ops, ab_list, c_list
+                )
+            else:
+                dev = []
+                for i in range(len(codewords) - 1):
+                    indices = [
+                        idx % (int(codewords[i].shape[0]) // 2)
+                        for idx in indices
+                    ]
+                    meta, d = self._query_dispatch(
+                        codewords[i],
+                        codewords[i + 1],
+                        indices,
+                        trees[i],
+                        trees[i + 1],
+                    )
+                    metas.append(meta)
+                    dev.append(d)
+            meta2 = dev2 = None
+            if extra_dispatch is not None:
+                meta2, dev2 = extra_dispatch(top_level_indices)
+            fetched, fetched2 = jax.device_get([dev, dev2])
             for meta, f in zip(metas, fetched):
                 self._query_emit(meta, f, proof_stream)
+            if extra_emit is not None:
+                extra_emit(meta2, fetched2)
 
         return top_level_indices
 

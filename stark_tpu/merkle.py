@@ -55,6 +55,35 @@ def _open_batch_fn(n: int, n_dev_levels: int, k: int):
     return jax.jit(gather)
 
 
+def path_gather_dev(pre_levels, stack, idx, n_path: int):
+    """TRACEABLE sibling-path gather for one full-device tree.
+
+    ``pre_levels``: row-tuple levels preceding the tail stack (leaf level
+    first); ``stack``: the tree's raw tail stack or None; ``idx``: (k,)
+    i32 leaf indices; ``n_path``: total path length (= #levels - 1, root
+    excluded).  Returns (n_path, k, 32) u8, level-major bottom-up —
+    the same layout :func:`MerkleTree.paths_from_dev` consumes.
+
+    Arrays must be passed as jit ARGUMENTS (not closed over), so callers
+    key their jit on the static structure and feed
+    :meth:`MerkleTree.gather_operands` through the arg list.
+    """
+    import jax.numpy as jnp
+
+    parts = []
+    for lvl, rows in enumerate(pre_levels):
+        sib = (idx >> lvl) ^ 1
+        parts.append(
+            jnp.stack(
+                [r[sib // HB.LANE, sib % HB.LANE] for r in rows], axis=1
+            )[None]
+        )
+    n_pre = len(pre_levels)
+    if stack is not None and n_path > n_pre:
+        parts.append(HB.stack_path_gather(stack, idx, n_pre, n_path - n_pre))
+    return jnp.concatenate(parts, axis=0)
+
+
 def _rows_width(rows) -> int:
     # (R, 128) tiles above one lane tile; (1, w) below it.
     return int(rows[0].shape[0]) * int(rows[0].shape[1])
@@ -101,6 +130,10 @@ class MerkleTree:
         self._host_all = None
         self._root = None
         self._root_bytes_dev_cached = None
+        # Raw padded tail stack (ops/hash_batch.tail_levels) for vectorized
+        # path gathers; _tail_first = tree level of stack level 0.
+        self._tail_stack = None
+        self._tail_first = 0
 
     # -- constructors --------------------------------------------------------
 
@@ -159,10 +192,13 @@ class MerkleTree:
         dev = [leaf_rows]
         while _rows_width(dev[-1]) > HB.FUSE_MAX_WIDTH:
             dev.append(HB.level_rows(dev[-1]))
-        tail, root = HB.tail_levels(dev[-1])
+        n_pre = len(dev)
+        tail, root, stack = HB.tail_levels(dev[-1])
         dev.extend(tail)
         tree = MerkleTree(_dev_levels=tuple(dev))
         tree._root_bytes_dev_cached = root
+        tree._tail_stack = stack
+        tree._tail_first = n_pre
         return tree
 
     @staticmethod
@@ -184,17 +220,22 @@ class MerkleTree:
             else v[None, :]
         )
         if n <= HB.FUSE_MAX_WIDTH:
-            leaf, tail, root = HB.tree_from_values(v2d)
+            leaf, tail, root, stack = HB.tree_from_values(v2d)
             tree = MerkleTree(_dev_levels=(leaf,) + tail)
             tree._root_bytes_dev_cached = root
+            tree._tail_stack = stack
+            tree._tail_first = 1
             return tree
         dev = [HB.leaf_hash_rows(v2d)]
         while _rows_width(dev[-1]) > HB.FUSE_MAX_WIDTH:
             dev.append(HB.level_rows(dev[-1]))
-        tail, root = HB.tail_levels(dev[-1])
+        n_pre = len(dev)
+        tail, root, stack = HB.tail_levels(dev[-1])
         dev.extend(tail)
         tree = MerkleTree(_dev_levels=tuple(dev))
         tree._root_bytes_dev_cached = root
+        tree._tail_stack = stack
+        tree._tail_first = n_pre
         return tree
 
     def root_bytes_dev(self):
@@ -274,6 +315,19 @@ class MerkleTree:
             proof.append(Hash(level[sibling].tobytes()))
             idx //= 2
         return proof
+
+    def gather_operands(self):
+        """(pre_levels, stack) jit-argument arrays for
+        :func:`path_gather_dev`, plus the static path length.  Full-device
+        trees only."""
+        assert self._top_levels is None
+        n_path = len(self._dev_levels) - 1
+        if self._tail_stack is not None:
+            return (
+                self._dev_levels[: self._tail_first],
+                self._tail_stack,
+            ), n_path
+        return (self._dev_levels[:n_path], None), n_path
 
     def open_batch_dev(self, indices: list[int]):
         """Device-side gather of the device-level portion of every path:

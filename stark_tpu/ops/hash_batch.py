@@ -310,7 +310,10 @@ def _tail_levels_core(leaf_rows):
         else:
             levels.append(tuple(out[b][i, :1, :w] for b in range(32)))
     root = jnp.stack([out[b][L - 1, 0, 0] for b in range(32)])
-    return tuple(levels), root
+    # `out` is the raw padded stack — 32 x (L, R/2, 128), level i's valid
+    # prefix is W >> (i+1) nodes — kept for vectorized path gathers
+    # (one gather op per digest byte across ALL levels at once).
+    return tuple(levels), root, out
 
 
 def _tail_levels_narrow(leaf_rows):
@@ -335,7 +338,29 @@ def _tail_levels_narrow(leaf_rows):
         for i in range(L)
     )
     root = jnp.stack([out[b][L - 1, 0] for b in range(32)])
-    return levels, root
+    return levels, root, out
+
+
+def stack_path_gather(stack, idx, first_level: int, n_levels: int):
+    """Vectorized sibling-digest gather from a tail stack (traceable).
+
+    ``stack``: 32 x (L, R/2, 128) (wide) or 32 x (L, w/2) (narrow) padded
+    level stacks; ``idx``: (k,) i32 LEAF-level query indices of the tree;
+    stack level i holds tree level ``first_level + i``.  Returns
+    (n_levels, k, 32) u8 — one gather op per digest byte covers every
+    level at once (the per-level alternative costs 32 ops PER level).
+    """
+    shifts = (
+        jnp.arange(n_levels, dtype=jnp.int32)[:, None] + first_level
+    )
+    sib = (idx[None, :] >> shifts) ^ 1  # (n_levels, k) node siblings
+    lvl = jnp.arange(n_levels, dtype=jnp.int32)[:, None]
+    if stack[0].ndim == 3:
+        rows, cols = sib // LANE, sib % LANE
+        per_b = [s[lvl, rows, cols] for s in stack]
+    else:
+        per_b = [s[lvl, sib] for s in stack]
+    return jnp.stack(per_b, axis=2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -355,8 +380,8 @@ def _tree_from_values_fn(shape):
 
     def fn(v2d):
         leaf = leaf_hash_rows_core(v2d, rolled=True)
-        levels, root = _tail_levels_core(leaf)
-        return leaf, levels, root
+        levels, root, stack = _tail_levels_core(leaf)
+        return leaf, levels, root, stack
 
     return jax.jit(fn)
 
@@ -395,15 +420,13 @@ level_rows = jax.jit(level_rows_core)
 # ---------------------------------------------------------------------------
 
 
-def transcript_alpha_core(transcripts, rolled: bool = False):
-    """(B, length) u8 transcripts -> (B,) alpha mod p.  Traceable inline;
-    length is read from the static shape.  Chunking matches hash.rs:13-27
-    (partial last chunk absorbed then mixed).  ``rolled`` runs the full
-    32-byte chunks through a lax.scan and the final mixes through a
-    fori_loop — same bytes, ~7x smaller graph (compile-time path)."""
-    from stark_tpu.ops import fieldops as F
-    from stark_tpu.ops.fieldops import P
-
+def transcript_state_core(transcripts, rolled: bool = False):
+    """(B, length) u8 transcripts -> hash state as a list of 32 (B,) u8
+    rows (= Hash::from_bytes of each transcript, hash.rs:7-30).  Traceable
+    inline; length is read from the static shape.  Chunking matches
+    hash.rs:13-27 (partial last chunk absorbed then mixed).  ``rolled``
+    runs the full 32-byte chunks through a lax.scan and the final mixes
+    through a fori_loop — same bytes, ~7x smaller graph."""
     B, length = transcripts.shape
     assert length > 0
     state = _init_rows(jnp, (B,))
@@ -430,13 +453,27 @@ def transcript_alpha_core(transcripts, rolled: bool = False):
     else:
         for _ in range(8):
             state = _mix_rows(state)
-    acc = jnp.zeros((B,), jnp.uint32)
+    return state
+
+
+def state_alpha(state):
+    """First 8 digest bytes as a field value mod p: equals the host's
+    u64-LE challenge reduced mod p (fiat_shamir.rs:21-24 + ff.rs:138)."""
+    from stark_tpu.ops import fieldops as F
+    from stark_tpu.ops.fieldops import P
+
+    acc = jnp.zeros(state[0].shape, jnp.uint32)
     for i in range(8):
         term = F.mulmod(
             state[i].astype(jnp.uint32), jnp.uint32(pow(2, 8 * i, P))
         )
         acc = F.addmod(acc, term)
     return acc
+
+
+def transcript_alpha_core(transcripts, rolled: bool = False):
+    """(B, length) u8 transcripts -> (B,) alpha mod p."""
+    return state_alpha(transcript_state_core(transcripts, rolled=rolled))
 
 
 @functools.lru_cache(maxsize=None)

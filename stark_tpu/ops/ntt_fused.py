@@ -210,13 +210,23 @@ def _dif_col_stages(x_ref, o_ref, scratch_ref, stw_ref, stws_ref):
     """In-place radix-2 DIF column NTT along axis 0 of the (N, T) block in
     ``x_ref``; result (rows bit-reversed) written to ``o_ref``.
 
-    Stage s, block size m = N >> s, half = m/2: row i pairs with i^half;
-    partners arrive via two sublane rotations (roll ±half), the butterfly
-    selects by the iota mask (i & half) == 0, and the second-half result
-    is Shoup-multiplied by the dense stage twiddle (column s of the
-    packed (N, lg) table).  Uniform for every stage — no reshapes, no
-    sub-tile slicing.  Stages ping-pong o_ref/scratch_ref so peak VMEM
-    stays ~2 blocks of temporaries regardless of log2(N).
+    Stage s, block size m = N >> s, half = m/2: row i pairs with i^half.
+    Two formulations, both writing the same in-place DIF layout:
+
+    * half >= 8 (sublane-aligned): reshape the value to (2^s, m, T) —
+      a free leading-dim split — and slice the block halves contiguously.
+      The butterfly then does the add on the top half and the sub+Shoup
+      multiply on the bottom half ONLY: 0.5 twiddle muls per element per
+      stage, versus 1.0 for the masked scheme below (which evaluates the
+      multiply everywhere and selects).  The kernel is VPU-compute-bound
+      (~20 ops/element/stage, dominated by the 16x16-limb mulhi), so this
+      halves the hot path for all but the last three stages.
+    * half < 8: sub-sublane slicing would force Mosaic relayouts; partner
+      rows arrive via two sublane rotations (roll +-half) and the iota
+      mask selects — uniform, no reshapes.
+
+    Stages ping-pong o_ref/scratch_ref so peak VMEM stays ~2 blocks of
+    temporaries regardless of log2(N).
     """
     N, T = x_ref.shape
     lg = N.bit_length() - 1
@@ -226,14 +236,28 @@ def _dif_col_stages(x_ref, o_ref, scratch_ref, stw_ref, stws_ref):
     for s in range(lg):
         half = (N >> s) >> 1
         a = src[:]
-        down = pltpu.roll(a, N - half, axis=0)  # a[i+half] lands at row i
-        up = pltpu.roll(a, half, axis=0)        # a[i-half] lands at row i
-        sel = (ii & half) == 0
-        u = jnp.where(sel, a, up)
-        v = jnp.where(sel, down, a)
-        tw = _shoup(_submod(u, v), stw_ref[:, s : s + 1], stws_ref[:, s : s + 1])
         dst = refs[(s + 1) % 2]
-        dst[:] = jnp.where(sel, _addmod(u, v), tw)
+        if half >= 8:
+            bs, m = 1 << s, N >> s
+            a3 = a.reshape(bs, m, T)
+            u = a3[:, :half, :]
+            v = a3[:, half:, :]
+            # Block 0's bottom rows of the dense table hold w^(j*2^s).
+            w = stw_ref[half : 2 * half, s : s + 1].reshape(1, half, 1)
+            ws = stws_ref[half : 2 * half, s : s + 1].reshape(1, half, 1)
+            top = _addmod(u, v)
+            bot = _shoup(_submod(u, v), w, ws)
+            dst[:] = jnp.concatenate([top, bot], axis=1).reshape(N, T)
+        else:
+            down = pltpu.roll(a, N - half, axis=0)  # a[i+half] -> row i
+            up = pltpu.roll(a, half, axis=0)        # a[i-half] -> row i
+            sel = (ii & half) == 0
+            u = jnp.where(sel, a, up)
+            v = jnp.where(sel, down, a)
+            tw = _shoup(
+                _submod(u, v), stw_ref[:, s : s + 1], stws_ref[:, s : s + 1]
+            )
+            dst[:] = jnp.where(sel, _addmod(u, v), tw)
         src = dst
 
 

@@ -135,6 +135,52 @@ class _Domain:
         return total
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _device_challenges_fn(n_challenges: int, prefix_len: int):
+    """ONE dispatch deriving all constraint-combination challenges on
+    device from a device transcript prefix (the trace root): for each
+    challenge, the digest's first 8 bytes extend the transcript (the raw
+    u64 the host absorbs, transcript.py/_draw_constraint_challenges) and
+    its mod-p reduction feeds the composition kernel.  Returns
+    (digests (k, 8) u8, alphas (k,) u32 mod p, transcript (prefix+8k,) u8).
+    """
+    from stark_tpu.ops import hash_batch as HB
+
+    def fn(prefix):
+        t = prefix
+        digs, alphas = [], []
+        for _ in range(n_challenges):
+            st = HB.transcript_state_core(t[None, :], rolled=True)
+            digest8 = jnp.stack([st[j][0] for j in range(8)])
+            digs.append(digest8)
+            alphas.append(HB.state_alpha([row[0] for row in st]))
+            t = jnp.concatenate([t, digest8])
+        return jnp.stack(digs), jnp.stack(alphas), t
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _trace_open_fn(key):
+    """One dispatch for the trace openings: column values + sibling paths
+    for every query index.  ``key`` pins the tree's static structure."""
+    from stark_tpu.merkle import path_gather_dev
+
+    n_path, _n_pre, _has_stack = key
+
+    def fn(trace_lde, tree_ops, idx):
+        pre, stack = tree_ops
+        return (
+            jnp.take(trace_lde, idx, axis=1),
+            path_gather_dev(pre, stack, idx, n_path),
+        )
+
+    return jax.jit(fn)
+
+
 def _draw_constraint_challenges(fs: FiatShamir, field: FiniteField, count: int):
     """count (alpha, beta) pairs; each raw challenge's 8 LE bytes are
     absorbed so successive challenges differ (challenge() is pure)."""
@@ -220,31 +266,68 @@ class StarkProver:
             cols = np.asarray(trace_rows, dtype=np.uint64).T % P     # (c, T)
             trace_lde = self._lde_trace(cols.astype(np.uint32))      # (c, N)
 
-        # 2. commit trace
+        # 2+3. commit trace and draw constraint-combination challenges.
+        # When the trace tree is full-device and the FRI chain is fused,
+        # the root NEVER crosses to the host here: the device transcript
+        # (root + challenge digest bytes) seeds the FRI commit chain, and
+        # the host replays it byte-exactly from the chain's single batched
+        # fetch (prefix_replay below).
+        n_terms = d.num_transition + len(d.boundary)
         with timer.phase("trace_commit"):
             trace_tree = self._trace_tree(trace_lde)
-            stream.push(MerkleRoot(trace_tree.root))
-            fs.absorb(trace_tree.root.data)
+            chain_upstream = (
+                trace_tree._top_levels is None
+                and self.fri.device_chain
+                and self.fri.fused_round
+            )
+            if not chain_upstream:
+                stream.push(MerkleRoot(trace_tree.root))
+                fs.absorb(trace_tree.root.data)
 
-        # 3. constraint-combination challenges
         with timer.phase("challenges"):
-            n_terms = d.num_transition + len(d.boundary)
-            alphas, betas = _draw_constraint_challenges(fs, field, n_terms)
+            if chain_upstream:
+                troot_dev = trace_tree.root_bytes_dev()
+                digs_dev, ch_dev, transcript_dev = _device_challenges_fn(
+                    2 * n_terms, 32
+                )(troot_dev)
+                alphas_c = ch_dev[0::2]
+                betas_c = ch_dev[1::2]
+            else:
+                alphas, betas = _draw_constraint_challenges(fs, field, n_terms)
+                alphas_c = jnp.asarray(alphas, dtype=jnp.uint32)
+                betas_c = jnp.asarray(betas, dtype=jnp.uint32)
 
         # 4. composition codeword  [device, one fused jit]
         with timer.phase("compose"):
-            composition = self._compose_jit(
-                trace_lde,
-                jnp.asarray(alphas, dtype=jnp.uint32),
-                jnp.asarray(betas, dtype=jnp.uint32),
-            )
+            composition = self._compose_jit(trace_lde, alphas_c, betas_c)
 
-        # 5. FRI
-        top_indices = self.fri.prove(composition, fs, stream, timer=timer)
+        def _prefix_replay(extras):
+            """Host replay of the deferred trace commitment + challenge
+            draws, from the chain's batched fetch; raises on device/host
+            divergence (mirrors fri.py's alpha check, survives -O)."""
+            troot_h, digs_h = extras
+            root = Hash(np.asarray(troot_h).astype(np.uint8).tobytes())
+            trace_tree.set_root(root)
+            stream.push(MerkleRoot(root))
+            fs.absorb(root.data)
+            digs = np.asarray(digs_h).astype(np.uint8)
+            for i in range(2 * n_terms):
+                raw = fs.challenge(field).value
+                b = raw.to_bytes(8, "little")
+                if b != digs[i].tobytes():
+                    raise RuntimeError(
+                        "device/host transcript divergence (constraint "
+                        "challenges)"
+                    )
+                fs.absorb(b)
 
-        # 6. trace openings at the FRI round-0 query points — all values and
-        # auth paths gathered on device, fetched in one device_get.
-        with timer.phase("trace_open"):
+        # 5. FRI — with the trace openings (step 6) riding the query
+        # phase's single dispatch + fetch via the extra hooks.
+        trace_lde_dev = jnp.asarray(trace_lde)
+
+        def _open_dispatch(top_indices):
+            """Trace openings at the FRI round-0 query points and their
+            frame-shifted companions: values + auth paths, one gather."""
             half = d.N // 2
             query_points = []
             for idx in top_indices:
@@ -255,21 +338,43 @@ class StarkProver:
                 for qp in query_points
                 for k in self.air.frame_offsets
             ]
-            vals_dev = jnp.take(
-                jnp.asarray(trace_lde),
-                jnp.asarray(cols_idx, dtype=jnp.int32),
-                axis=1,
-            )
-            sib_dev = trace_tree.open_batch_dev(cols_idx)
-            vals, sib = jax.device_get([vals_dev, sib_dev])
+            idx_dev = jnp.asarray(cols_idx, dtype=jnp.int32)
+            if trace_tree._top_levels is None:
+                ops_t, n_path = trace_tree.gather_operands()
+                key = (n_path, len(ops_t[0]), ops_t[1] is not None)
+                return cols_idx, _trace_open_fn(key)(
+                    trace_lde_dev, ops_t, idx_dev
+                )
+            # Host-top tree (small N): separate take + legacy batch gather.
+            return cols_idx, [
+                jnp.take(trace_lde_dev, idx_dev, axis=1),
+                trace_tree.open_batch_dev(cols_idx),
+            ]
+
+        def _open_emit(cols_idx, fetched):
+            vals, sib = fetched
             paths = (
-                trace_tree.finish_paths(MerkleTree.paths_from_dev(sib), cols_idx)
+                trace_tree.finish_paths(
+                    MerkleTree.paths_from_dev(sib), cols_idx
+                )
                 if sib is not None
                 else trace_tree.open_batch(cols_idx)
             )
             for t in range(len(cols_idx)):
                 stream.push(FieldElements(tuple(int(v) for v in vals[:, t])))
                 stream.push(MerklePath(tuple(paths[t])))
+
+        self.fri.prove(
+            composition,
+            fs,
+            stream,
+            timer=timer,
+            extra_dispatch=_open_dispatch,
+            extra_emit=_open_emit,
+            transcript_dev_prefix=transcript_dev if chain_upstream else None,
+            extra_fetch=[troot_dev, digs_dev] if chain_upstream else None,
+            prefix_replay=_prefix_replay if chain_upstream else None,
+        )
 
         return stream.serialize()
 
