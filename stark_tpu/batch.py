@@ -85,6 +85,44 @@ def _forest_from_leaf_rows(leaf_rows, B: int, n: int):
     return levels
 
 
+@functools.lru_cache(maxsize=None)
+def _forest_tail_fn(B: int, n: int):
+    """ONE dispatch for all forest levels below the leaves
+    (hash_batch.forest_tail_levels_core) — the per-level loop above costs
+    a ~1.3 ms dispatch per level through the relay."""
+    return jax.jit(
+        functools.partial(HB.forest_tail_levels_core, B=B, n=n)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _forest_from_values_fn(B: int, n: int):
+    """Leaf hash + all forest levels in ONE dispatch ((B, n) values)."""
+
+    def fn(values):
+        leaf = HB.leaf_hash_rows_core(
+            values.reshape(B * n // HB.LANE, HB.LANE), rolled=True
+        )
+        return leaf, HB.forest_tail_levels_core(leaf, B, n)
+
+    return jax.jit(fn)
+
+
+def _forest_levels_fused(leaf_rows_or_none, B: int, n: int, values=None):
+    """Fused forest build; returns batch.py's [(rows, w)] level list."""
+    if values is not None:
+        leaf, tail = _forest_from_values_fn(B, n)(values)
+    else:
+        leaf = leaf_rows_or_none
+        tail = _forest_tail_fn(B, n)(leaf)
+    levels = [(leaf, n)]
+    w = n
+    for rows in tail:
+        w //= 2
+        levels.append((rows, w))
+    return levels
+
+
 class BatchedTrees:
     """B same-shape Merkle trees, all levels device resident."""
 
@@ -97,6 +135,10 @@ class BatchedTrees:
     def from_values(values, B: int, n: int) -> "BatchedTrees":
         """values: (B, n) uint32 -> forest (leaf_i = H([v_i]) per proof)."""
         values = jnp.asarray(values, dtype=jnp.uint32)
+        if n >= LANE and (B * n) % (2 * LANE) == 0:
+            return BatchedTrees(
+                _forest_levels_fused(None, B, n, values=values), B, n
+            )
         v2d = (
             values.reshape(B * n // LANE, LANE) if n >= LANE else values
         )
@@ -116,9 +158,10 @@ class BatchedTrees:
         lanes = (
             lanes.reshape(c, B * n // LANE, LANE) if n >= LANE else lanes
         )
-        return BatchedTrees(
-            _forest_from_leaf_rows(HB.row_hash_rows(lanes), B, n), B, n
-        )
+        leaf = HB.row_hash_rows(lanes)
+        if n >= LANE and (B * n) % (2 * LANE) == 0:
+            return BatchedTrees(_forest_levels_fused(leaf, B, n), B, n)
+        return BatchedTrees(_forest_from_leaf_rows(leaf, B, n), B, n)
 
     def root_bytes_dev(self):
         """(B, 32) u8 device roots."""

@@ -286,6 +286,27 @@ def _tail_levels_core(leaf_rows):
         return _tail_levels_narrow(leaf_rows)
     W = R * LANE
     L = W.bit_length() - 1  # levels produced: widths W/2 .. 1
+    out = _tail_loop(leaf_rows, L)
+
+    levels = []
+    for i in range(L):
+        w = W >> (i + 1)
+        if w >= LANE:
+            levels.append(tuple(out[b][i, : w // LANE, :] for b in range(32)))
+        else:
+            levels.append(tuple(out[b][i, :1, :w] for b in range(32)))
+    root = jnp.stack([out[b][L - 1, 0, 0] for b in range(32)])
+    # `out` is the raw padded stack — 32 x (L, R/2, 128), level i's valid
+    # prefix is W >> (i+1) nodes — kept for vectorized path gathers
+    # (one gather op per digest byte across ALL levels at once).
+    return tuple(levels), root, out
+
+
+def _tail_loop(leaf_rows, L: int):
+    """The fixed-width level loop: 32 x (R, 128) leaf rows -> 32 x
+    (L, R/2, 128) padded level stacks (level i's valid prefix is
+    R*128 >> (i+1) nodes, row-major)."""
+    R = int(leaf_rows[0].shape[0])
     Rh = R // 2
 
     def body(i, carry):
@@ -301,19 +322,37 @@ def _tail_levels_core(leaf_rows):
 
     out0 = tuple(jnp.zeros((L, Rh, LANE), jnp.uint8) for _ in range(32))
     _, out = jax.lax.fori_loop(0, L, body, (tuple(leaf_rows), out0))
+    return out
 
+
+def forest_tail_levels_core(leaf_rows, B: int, n: int):
+    """Fused FOREST build: B same-shape trees packed row-major over
+    B*n lanes (the batched prover's layout, stark_tpu/batch.py).  One
+    fori_loop produces every level down to the per-proof roots — the
+    pairing never crosses a proof boundary because per-proof widths stay
+    even until width 1, where the loop stops (log2(n) levels, not
+    log2(B*n)).  Returns levels in batch.py's convention: (B*w/128, 128)
+    row-major while w >= 128, (B, w) per-proof below."""
+    L = n.bit_length() - 1
+    R = int(leaf_rows[0].shape[0])
+    assert R % 2 == 0, (B, n)  # the fixed-width loop halves tile rows
+    out = _tail_loop(leaf_rows, L)
     levels = []
     for i in range(L):
-        w = W >> (i + 1)
-        if w >= LANE:
-            levels.append(tuple(out[b][i, : w // LANE, :] for b in range(32)))
+        wp = n >> (i + 1)
+        wg = B * wp
+        if wp >= LANE:
+            levels.append(
+                tuple(out[b][i, : wg // LANE, :] for b in range(32))
+            )
         else:
-            levels.append(tuple(out[b][i, :1, :w] for b in range(32)))
-    root = jnp.stack([out[b][L - 1, 0, 0] for b in range(32)])
-    # `out` is the raw padded stack — 32 x (L, R/2, 128), level i's valid
-    # prefix is W >> (i+1) nodes — kept for vectorized path gathers
-    # (one gather op per digest byte across ALL levels at once).
-    return tuple(levels), root, out
+            levels.append(
+                tuple(
+                    out[b][i].reshape(-1)[:wg].reshape(B, wp)
+                    for b in range(32)
+                )
+            )
+    return levels
 
 
 def _tail_levels_narrow(leaf_rows):
