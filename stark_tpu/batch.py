@@ -108,15 +108,29 @@ def _forest_from_values_fn(B: int, n: int):
     return jax.jit(fn)
 
 
+#: Global width above which the fused forest loop's padded stack (16 *
+#: log2(n) * B*n bytes transient) and its full-width wasted combines get
+#: expensive: build those levels per-level, fuse the rest.
+_FOREST_FUSE_CAP = 1 << 20
+
+
 def _forest_levels_fused(leaf_rows_or_none, B: int, n: int, values=None):
     """Fused forest build; returns batch.py's [(rows, w)] level list."""
-    if values is not None:
+    if values is not None and B * n <= _FOREST_FUSE_CAP:
         leaf, tail = _forest_from_values_fn(B, n)(values)
+        levels = [(leaf, n)]
     else:
-        leaf = leaf_rows_or_none
-        tail = _forest_tail_fn(B, n)(leaf)
-    levels = [(leaf, n)]
-    w = n
+        if leaf_rows_or_none is None:
+            leaf_rows_or_none = HB.leaf_hash_rows(
+                values.reshape(B * n // LANE, LANE)
+            )
+        levels = [(leaf_rows_or_none, n)]
+        w = n
+        while B * w > _FOREST_FUSE_CAP:
+            levels.append((_forest_level_fn(B, w)(levels[-1][0]), w // 2))
+            w //= 2
+        tail = _forest_tail_fn(B, w)(levels[-1][0])
+    w = levels[-1][1]
     for rows in tail:
         w //= 2
         levels.append((rows, w))
@@ -200,6 +214,31 @@ def _forest_gather_fn(B: int, n: int, k: int):
             out.append(digs)  # (B, k, 32)
             idx = idx >> 1
         return jnp.stack(out, axis=0)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_round_fn(B: int, W: int, L: int):
+    """ONE dispatch for a whole batched commit round: forest (leaf hash +
+    every level) + per-proof roots + transcript append + challenges +
+    folds — the batched analogue of fri._commit_round_fn."""
+    half = W // 2
+
+    def fn(codeword, transcripts, inv_x_mont, inv2_w, inv2_ws):
+        leaf = HB.leaf_hash_rows_core(
+            codeword.reshape(B * W // LANE, LANE), rolled=True
+        )
+        tail = HB.forest_tail_levels_core(leaf, B, W)
+        roots = jnp.stack([r.reshape(B) for r in tail[-1]], axis=1)
+        new_t = jnp.concatenate([transcripts, roots], axis=1)
+        alpha = HB.transcript_alpha_core(new_t, rolled=True)  # (B,)
+        a, b = codeword[:, :half], codeword[:, half:]
+        s = F.addmod(a, b)
+        d = F.submod(a, b)
+        t = F.mont_mul(inv_x_mont, alpha[:, None])
+        folded = F.shoup_mul(F.addmod(s, F.mulmod(t, d)), inv2_w, inv2_ws)
+        return leaf, tail, roots, new_t, alpha, folded
 
     return jax.jit(fn)
 
@@ -299,6 +338,35 @@ class BatchStarkProver:
         forests, codewords, root_devs, alpha_devs = [], [], [], []
         n = d.N
         for r in range(rounds):
+            if (
+                r < rounds - 1
+                and self.mesh is None
+                and n >= LANE
+                and (B * n) % (2 * LANE) == 0
+                and B * n <= _FOREST_FUSE_CAP
+            ):
+                # Whole round fused into one dispatch.
+                leaf, tail, roots, transcripts, alpha_red, folded = (
+                    _batch_round_fn(B, n, int(transcripts.shape[1]))(
+                        codeword,
+                        transcripts,
+                        fri._plan.inv_x_mont(r),
+                        jnp.uint32(_INV2),
+                        jnp.uint32(_INV2_SHOUP),
+                    )
+                )
+                levels = [(leaf, n)]
+                w = n
+                for rows in tail:
+                    w //= 2
+                    levels.append((rows, w))
+                forests.append(BatchedTrees(levels, B, n))
+                root_devs.append(roots)
+                alpha_devs.append(alpha_red)
+                codewords.append(codeword)
+                codeword = folded
+                n //= 2
+                continue
             forest = BatchedTrees.from_values(codeword, B, n)
             forests.append(forest)
             roots = forest.root_bytes_dev()
