@@ -75,10 +75,19 @@ def _mix_rows_loop(s, n: int):
     instead of unrolled n times.  Used by the narrow/fused kernels where
     XLA compile time, not HBM bandwidth, is the binding constraint (an
     unrolled mix chain fuses better and is kept for the wide leaf/level
-    kernels)."""
+    kernels).
+
+    The FIRST round runs unrolled: after an absorb, state rows the input
+    bytes never touched are still replicated constants, and under
+    shard_map a fori_loop rejects a carry whose varying-axis types change
+    (replicated in, varying out).  One mix's neighbor diffusion makes
+    every row data-dependent, so the loop carry is type-stable."""
+    if n == 0:
+        return list(s)
+    s = _mix_rows(list(s))
     return list(
         jax.lax.fori_loop(
-            0, n, lambda i, st: tuple(_mix_rows(list(st))), tuple(s)
+            0, n - 1, lambda i, st: tuple(_mix_rows(list(st))), tuple(s)
         )
     )
 
@@ -125,7 +134,15 @@ def _stack(xp, rows):
     return xp.stack(rows, axis=0)
 
 
-def leaf_hash_core(xp, values):
+def _final_mixes(xp, state, n_rounds: int, rolled: bool):
+    if rolled and xp is jnp:
+        return _mix_rows_loop(state, n_rounds)
+    for _ in range(n_rounds):
+        state = _mix_rows(state)
+    return state
+
+
+def leaf_hash_core(xp, values, rolled: bool = False):
     """(N,) uint32 field values -> (32, N) digests.
 
     Equals Hash::from_field_elements(&[v]) per leaf: one 8-byte chunk,
@@ -134,12 +151,11 @@ def leaf_hash_core(xp, values):
     values = values.astype(np.uint32) if xp is np else values
     state = _init_rows(xp, values.shape[0])
     state = _absorb_rows(state, _value_rows(values))
-    for _ in range(1 + 8):
-        state = _mix_rows(state)
+    state = _final_mixes(xp, state, 1 + 8, rolled)
     return _stack(xp, state)
 
 
-def combine_core(xp, left, right):
+def combine_core(xp, left, right, rolled: bool = False):
     """(32, N) x (32, N) digests -> (32, N) combined digests.
 
     Equals Hash::combine per lane: 64-byte input = two 32-byte chunks,
@@ -149,12 +165,11 @@ def combine_core(xp, left, right):
     state = _absorb_rows(state, [left[i] for i in range(32)])
     state = _mix_rows(state)
     state = _absorb_rows(state, [right[i] for i in range(32)])
-    for _ in range(1 + 8):
-        state = _mix_rows(state)
+    state = _final_mixes(xp, state, 1 + 8, rolled)
     return _stack(xp, state)
 
 
-def row_hash_core(xp, values):
+def row_hash_core(xp, values, rolled: bool = False):
     """(c, N) uint32 field values -> (32, N) digests.
 
     Equals Hash::from_field_elements(row) per lane: the row's c values as
@@ -169,8 +184,7 @@ def row_hash_core(xp, values):
     for start in range(0, len(byte_rows), 32):
         state = _absorb_rows(state, byte_rows[start : start + 32])
         state = _mix_rows(state)
-    for _ in range(8):
-        state = _mix_rows(state)
+    state = _final_mixes(xp, state, 8, rolled)
     return _stack(xp, state)
 
 
@@ -199,7 +213,7 @@ def leaf_hash_rows_core(values2d, rolled: bool = False):
     return tuple(state)
 
 
-def row_hash_rows_core(cols):
+def row_hash_rows_core(cols, rolled: bool = False):
     """(c, R, 128) uint32 -> tuple of 32 (R, 128) u8 digest rows
     (leaf j = Hash::from_field_elements of the c values at lane j)."""
     c = cols.shape[0]
@@ -210,6 +224,8 @@ def row_hash_rows_core(cols):
     for start in range(0, len(byte_rows), 32):
         state = _absorb_rows(state, byte_rows[start : start + 32])
         state = _mix_rows(state)
+    if rolled:
+        return tuple(_mix_rows_loop(state, 8))
     for _ in range(8):
         state = _mix_rows(state)
     return tuple(state)
@@ -228,7 +244,7 @@ def combine_rows_core(left, right, rolled: bool = False):
     return tuple(state)
 
 
-def level_rows_core(rows):
+def level_rows_core(rows, rolled: bool = False):
     """One Merkle level on row-tuples: nodes (R, 128) -> parents (R/2, 128).
 
     Even/odd deinterleave: pairs (2i, 2i+1) are lane-adjacent; the strided
@@ -243,7 +259,7 @@ def level_rows_core(rows):
     else:
         left = tuple(r[:, 0::2].reshape(R // 2, LANE) for r in rows)
         right = tuple(r[:, 1::2].reshape(R // 2, LANE) for r in rows)
-    return combine_rows_core(left, right)
+    return combine_rows_core(left, right, rolled=rolled)
 
 
 # ---------------------------------------------------------------------------
@@ -440,9 +456,38 @@ def stacked_to_rows(digests):
     return tuple(digests[i].reshape(n // LANE, LANE) for i in range(32))
 
 
-leaf_hash_rows = jax.jit(leaf_hash_rows_core)
-row_hash_rows = jax.jit(row_hash_rows_core)
-level_rows = jax.jit(level_rows_core)
+# Width-dispatching jitted entry points.  At or below FUSE_MAX_WIDTH
+# lanes, the rolled (fori_loop) variants trace/compile ~7x faster and the
+# extra loop-boundary traffic is noise; above it, the unrolled chains let
+# XLA fuse the whole hash into a few HBM passes (the wide-level
+# bandwidth-bound regime).
+_leaf_hash_rows = (
+    jax.jit(leaf_hash_rows_core),
+    jax.jit(functools.partial(leaf_hash_rows_core, rolled=True)),
+)
+_row_hash_rows = (
+    jax.jit(row_hash_rows_core),
+    jax.jit(functools.partial(row_hash_rows_core, rolled=True)),
+)
+_level_rows = (
+    jax.jit(level_rows_core),
+    jax.jit(functools.partial(level_rows_core, rolled=True)),
+)
+
+
+def leaf_hash_rows(values2d):
+    n = int(values2d.shape[0]) * int(values2d.shape[1])
+    return _leaf_hash_rows[n <= FUSE_MAX_WIDTH](values2d)
+
+
+def row_hash_rows(cols):
+    n = int(cols.shape[1]) * int(cols.shape[2])
+    return _row_hash_rows[n <= FUSE_MAX_WIDTH](cols)
+
+
+def level_rows(rows):
+    n = int(rows[0].shape[0]) * int(rows[0].shape[1])
+    return _level_rows[n <= FUSE_MAX_WIDTH](rows)
 
 
 # ---------------------------------------------------------------------------
@@ -517,7 +562,9 @@ def transcript_alpha_core(transcripts, rolled: bool = False):
 
 @functools.lru_cache(maxsize=None)
 def _transcript_alpha_fn(length: int, B: int = 1):
-    return jax.jit(transcript_alpha_core)
+    # Rolled: transcripts are tiny, but a new graph is traced per LENGTH
+    # (every FRI round grows it) — compile time is the only cost here.
+    return jax.jit(functools.partial(transcript_alpha_core, rolled=True))
 
 
 def device_transcript_alpha(transcript):
@@ -534,15 +581,18 @@ def root_bytes_from_rows(rows):
 
 # -- jitted device entry points (stacked (32, N) layout — compat/tests) ----
 
-leaf_hash = jax.jit(functools.partial(leaf_hash_core, jnp))
-row_hash = jax.jit(functools.partial(row_hash_core, jnp))
-combine = jax.jit(functools.partial(combine_core, jnp))
+# Stacked (32, N) entry points are only used at small N (test
+# cross-checks, sub-1024 trace trees): rolled mixes — compile time is
+# their whole cost.
+leaf_hash = jax.jit(functools.partial(leaf_hash_core, jnp, rolled=True))
+row_hash = jax.jit(functools.partial(row_hash_core, jnp, rolled=True))
+combine = jax.jit(functools.partial(combine_core, jnp, rolled=True))
 
 
 @jax.jit
 def merkle_level(nodes):
     """(32, N) node digests -> (32, N/2) parent digests (pairwise combine)."""
-    return combine_core(jnp, nodes[:, 0::2], nodes[:, 1::2])
+    return combine_core(jnp, nodes[:, 0::2], nodes[:, 1::2], rolled=True)
 
 
 def merkle_level_np(nodes: np.ndarray) -> np.ndarray:

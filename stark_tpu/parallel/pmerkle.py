@@ -36,8 +36,10 @@ _ROW_SPECS = tuple(P(AXIS, None) for _ in range(32))
 
 @functools.lru_cache(maxsize=None)
 def _leaf_fn(mesh: Mesh, n: int):
+    rolled = n // mesh.devices.size <= HB.FUSE_MAX_WIDTH
+
     def body(v):
-        return HB.leaf_hash_rows_core(v.reshape(-1, HB.LANE))
+        return HB.leaf_hash_rows_core(v.reshape(-1, HB.LANE), rolled=rolled)
 
     fn = jax.shard_map(
         body, mesh=mesh, in_specs=(P(AXIS),), out_specs=_ROW_SPECS
@@ -47,9 +49,11 @@ def _leaf_fn(mesh: Mesh, n: int):
 
 @functools.lru_cache(maxsize=None)
 def _row_leaf_fn(mesh: Mesh, n: int, c: int):
+    rolled = n // mesh.devices.size <= HB.FUSE_MAX_WIDTH
+
     def body(cols):
         return HB.row_hash_rows_core(
-            cols.reshape(cols.shape[0], -1, HB.LANE)
+            cols.reshape(cols.shape[0], -1, HB.LANE), rolled=rolled
         )
 
     fn = jax.shard_map(
@@ -62,8 +66,9 @@ def _row_leaf_fn(mesh: Mesh, n: int, c: int):
 def _level_fn(mesh: Mesh, w: int):
     """Width-w level -> width-w/2 parents, combining local adjacent pairs
     (row-tuple layout; pairs are lane-adjacent inside each shard)."""
+    rolled = w // mesh.devices.size <= HB.FUSE_MAX_WIDTH
     fn = jax.shard_map(
-        HB.level_rows_core,
+        functools.partial(HB.level_rows_core, rolled=rolled),
         mesh=mesh,
         in_specs=(_ROW_SPECS,),
         out_specs=_ROW_SPECS,
@@ -83,9 +88,16 @@ def _finish_tree(leaf_rows, mesh: Mesh) -> MerkleTree:
     # Local combines need >= 2 sublane rows per shard: width >= 256*D.
     while _rows_width(dev[-1]) >= 2 * HB.LANE * D:
         dev.append(_level_fn(mesh, _rows_width(dev[-1]))(dev[-1]))
-    while _rows_width(dev[-1]) > 1:
-        dev.append(HB.level_rows(dev[-1]))
-    return MerkleTree(_dev_levels=tuple(dev))
+    # The cross-shard top: one fused dispatch (GSPMD gathers the tiny
+    # boundary level over ICI), stack + root included.
+    n_pre = len(dev)
+    tail, root, stack = HB.tail_levels(dev[-1])
+    dev.extend(tail)
+    tree = MerkleTree(_dev_levels=tuple(dev))
+    tree._root_bytes_dev_cached = root
+    tree._tail_stack = stack
+    tree._tail_first = n_pre
+    return tree
 
 
 def sharded_tree_from_values(values, mesh: Mesh) -> MerkleTree:
