@@ -66,15 +66,41 @@ def _host_numpy_ntt(x: np.ndarray) -> float:
     return time.perf_counter() - t0
 
 
+def _backend_reachable(timeout_s: int = 120) -> bool:
+    """Probe the default JAX backend in a SUBPROCESS: when the axon relay
+    is down, jax.devices() hangs indefinitely inside make_c_api_client at
+    0% CPU — a hung bench run is worse than a CPU-backend bench line."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     import jax
+
+    if not _backend_reachable():
+        print(
+            "bench: default backend unreachable; falling back to CPU",
+            file=sys.stderr,
+        )
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from stark_tpu.ops import ntt as NTT
     from stark_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    enable_compilation_cache(
+        allow_cpu=jax.config.jax_platforms == "cpu"
+    )
 
     rng = np.random.default_rng(42)
     x = rng.integers(0, PRIME, size=N_NTT, dtype=np.uint32)
