@@ -27,9 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from stark_tpu.field import FiniteField
-from stark_tpu.fri import _INV2, _INV2_SHOUP, Fri, _fold_kernel_dynamic
+from stark_tpu.fri import _INV2, _INV2_SHOUP, _fold_kernel_dynamic
 from stark_tpu.hashfn import Hash
-from stark_tpu.merkle import MerkleTree
 from stark_tpu.ops import fieldops as F
 from stark_tpu.ops import hash_batch as HB
 from stark_tpu.ops import ntt as NTT

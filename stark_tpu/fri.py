@@ -324,8 +324,6 @@ class Fri:
         the host-side prefix (pushing its stream objects and absorbing
         into ``fiat_shamir``) from ``extra_fetch``'s arrays, which ride the
         same batched root fetch."""
-        from stark_tpu.merkle import _DEVICE_MIN_WIDTH
-
         codeword = jnp.asarray(initial_codeword, dtype=jnp.uint32)
         codewords: list = []
         trees: list = []

@@ -31,7 +31,6 @@ assert jax.process_count() == int(os.environ["JAX_NUM_PROCESSES"]), (
     jax.process_count()
 )
 
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec
 
 from stark_tpu import StarkConfig, StarkProver

@@ -93,8 +93,6 @@ def test_two_process_prove_and_collective():
     # Single-process reference for both artifacts.
     import hashlib
 
-    import jax.numpy as jnp
-
     from stark_tpu import StarkConfig, StarkProver
     from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
     from stark_tpu.ops import ntt as NTT
