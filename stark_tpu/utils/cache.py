@@ -8,12 +8,33 @@ process after the first start warm.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _DEFAULT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".jax_cache",
 )
+
+
+def _host_feature_tag() -> str:
+    """Short hash of the host CPU feature flags.
+
+    XLA:CPU persists AOT machine code; this VM image migrates across hosts
+    with different AVX feature sets, and loading an entry compiled for the
+    wrong features SEGFAULTS inside compilation_cache.get_executable_and_
+    time (observed; the 'Machine type used for XLA:CPU compilation doesn't
+    match' warnings are the near-miss case).  Keying the cache directory
+    by the feature set makes a migrated host start a fresh cache instead
+    of loading incompatible binaries."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "nofeat"
 
 
 def enable_compilation_cache(
@@ -34,6 +55,7 @@ def enable_compilation_cache(
         except Exception:
             return
     path = path or os.environ.get("STARK_TPU_JAX_CACHE", _DEFAULT_DIR)
+    path = f"{path}-{_host_feature_tag()}"
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
