@@ -60,7 +60,10 @@ def test_two_process_prove_and_collective():
         env = dict(
             base_env,
             JAX_PLATFORMS="cpu",
-            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            XLA_FLAGS=(
+                "--xla_force_host_platform_device_count=1 "
+                "--xla_cpu_max_isa=AVX2"
+            ),
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
             JAX_NUM_PROCESSES=str(nproc),
             JAX_PROCESS_ID=str(pid),
