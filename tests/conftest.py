@@ -40,14 +40,7 @@ from stark_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache(allow_cpu=True)
 
-# XLA:CPU executable (de)serialization SEGFAULTS flakily on multi-device
-# GSPMD executables (observed twice in compilation_cache.get/put_
-# executable_and_time on the 2-device-mesh prover).  Persistent caching
-# is disabled for the sharded/multi-process test files — they recompile
-# every run, which is slower but never crashes the suite.
 import pytest
-
-_SHARDED_FILES = {"test_parallel.py", "test_batch.py", "test_distributed.py"}
 
 
 @pytest.fixture(autouse=True)
@@ -66,17 +59,3 @@ def _map_pressure_guard():
         return
     if n > 45000:
         jax.clear_caches()
-
-
-@pytest.fixture(autouse=True)
-def _no_persistent_cache_for_sharded(request):
-    if getattr(request.node, "path", None) is None or (
-        request.node.path.name not in _SHARDED_FILES
-    ):
-        yield
-        return
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
-        yield
-    finally:
-        jax.config.update("jax_enable_compilation_cache", True)

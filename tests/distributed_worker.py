@@ -23,11 +23,9 @@ import numpy as np
 import jax
 
 from stark_tpu.parallel.distributed import global_mesh, initialize_distributed
+from stark_tpu.utils.cache import enable_compilation_cache
 
-
-# Persistent caching disabled: multi-process executables hit the same
-# flaky XLA:CPU (de)serialization segfault as the sharded tests.
-# enable_compilation_cache(allow_cpu=True)
+enable_compilation_cache(allow_cpu=True)
 initialize_distributed()
 assert jax.process_count() == int(os.environ["JAX_NUM_PROCESSES"]), (
     jax.process_count()
