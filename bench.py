@@ -181,10 +181,18 @@ def main() -> None:
 
         # Batched throughput (the serving mode) — only when the persistent
         # compile cache is warm, so a cold driver run stays bounded.
+        import glob
         import os
 
-        cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-        if os.path.isdir(cache_dir) and os.listdir(cache_dir):
+        # The cache dir is keyed by host CPU features (utils/cache.py).
+        warm = any(
+            os.listdir(d)
+            for d in glob.glob(
+                os.path.join(os.path.dirname(__file__), ".jax_cache*")
+            )
+            if os.path.isdir(d)
+        )
+        if warm:
             from stark_tpu.batch import BatchStarkProver
 
             B = 8
