@@ -56,6 +56,7 @@ def _forest_level_fn(B: int, w: int):
     and the sublane merge stays inside each proof's row block (w/128 even).
     Narrow mode (w <= 128): rows are (B, w); lanes simply halve.
     """
+    rolled = B * w <= HB.FUSE_MAX_WIDTH
 
     def fn(rows):
         if w > LANE:
@@ -65,7 +66,7 @@ def _forest_level_fn(B: int, w: int):
         else:
             left = tuple(r[:, 0::2] for r in rows)
             right = tuple(r[:, 1::2] for r in rows)
-        return HB.combine_rows_core(left, right)
+        return HB.combine_rows_core(left, right, rolled=rolled)
 
     return jax.jit(fn)
 
