@@ -81,6 +81,15 @@ _T_PASS1 = 128
 _T_PASS2 = 256
 _MIN_FUSED = 1 << 16
 _VMEM_LIMIT = 100 * 1024 * 1024
+#: Harvey-style lazy butterflies: values live in [0, 2p) across stages, the
+#: subtract drops its select (x - y + 2p) and the Shoup multiply drops its
+#: final conditional correction (valid for any t < 2^32 since
+#: ws = floor(w*2^32/p) gives r = w*t - floor(ws*t/2^32)*p in [0, 2p)).
+#: Pass 1's REDC absorbs [0,2p) inputs (a*b + m*p < 2p*p + 2^32*p so
+#: u < 2p); pass 2 adds one final conditional subtract per element.
+#: ~17% fewer VPU ops on a compute-bound kernel.  Default OFF until
+#: A/B-measured on the TPU (flip via STARK_TPU_LAZY_NTT=1).
+_LAZY_DEFAULT = os.environ.get("STARK_TPU_LAZY_NTT", "0") == "1"
 
 
 def _host_pow_row(base: int, start: int, step: int, count: int) -> np.ndarray:
@@ -192,6 +201,28 @@ def _shoup(a, w, ws):
     return jnp.where(r >= jnp.uint32(P), r - jnp.uint32(P), r)
 
 
+# -- lazy ([0, 2p)-range) variants, see _LAZY_DEFAULT ----------------------
+
+_TWO_P = 2 * P  # 1996488706 < 2^31
+
+
+def _addmod_lazy(a, b):
+    """a + b with a, b in [0, 2p) -> [0, 2p); sum < 4p < 2^32."""
+    s = a + b
+    return jnp.where(s >= jnp.uint32(_TWO_P), s - jnp.uint32(_TWO_P), s)
+
+
+def _sub_lazy(a, b):
+    """a - b + 2p with a, b in [0, 2p) -> (0, 4p); no select."""
+    return a - b + jnp.uint32(_TWO_P)
+
+
+def _shoup_lazy(a, w, ws):
+    """w*a mod p + {0, p}, any a < 2^32, w < p; no final correction."""
+    q = _mulhi32(a, ws)
+    return a * w - q * jnp.uint32(P)
+
+
 _PINV_NEG = (-pow(P, -1, 1 << 32)) % (1 << 32)
 
 
@@ -206,7 +237,7 @@ def _mont_mul(a, b):
     return jnp.where(u >= jnp.uint32(P), u - jnp.uint32(P), u)
 
 
-def _dif_col_stages(x_ref, o_ref, scratch_ref, stw_ref, stws_ref):
+def _dif_col_stages(x_ref, o_ref, scratch_ref, stw_ref, stws_ref, lazy=False):
     """In-place radix-2 DIF column NTT along axis 0 of the (N, T) block in
     ``x_ref``; result (rows bit-reversed) written to ``o_ref``.
 
@@ -232,6 +263,9 @@ def _dif_col_stages(x_ref, o_ref, scratch_ref, stw_ref, stws_ref):
     lg = N.bit_length() - 1
     ii = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     refs = [o_ref, scratch_ref] if lg % 2 == 0 else [scratch_ref, o_ref]
+    add = _addmod_lazy if lazy else _addmod
+    sub = _sub_lazy if lazy else _submod
+    twmul = _shoup_lazy if lazy else _shoup
     src = x_ref
     for s in range(lg):
         half = (N >> s) >> 1
@@ -245,8 +279,8 @@ def _dif_col_stages(x_ref, o_ref, scratch_ref, stw_ref, stws_ref):
             # Block 0's bottom rows of the dense table hold w^(j*2^s).
             w = stw_ref[half : 2 * half, s : s + 1].reshape(1, half, 1)
             ws = stws_ref[half : 2 * half, s : s + 1].reshape(1, half, 1)
-            top = _addmod(u, v)
-            bot = _shoup(_submod(u, v), w, ws)
+            top = add(u, v)
+            bot = twmul(sub(u, v), w, ws)
             dst[:] = jnp.concatenate([top, bot], axis=1).reshape(N, T)
         else:
             down = pltpu.roll(a, N - half, axis=0)  # a[i+half] -> row i
@@ -254,20 +288,25 @@ def _dif_col_stages(x_ref, o_ref, scratch_ref, stw_ref, stws_ref):
             sel = (ii & half) == 0
             u = jnp.where(sel, a, up)
             v = jnp.where(sel, down, a)
-            tw = _shoup(
-                _submod(u, v), stw_ref[:, s : s + 1], stws_ref[:, s : s + 1]
+            tw = twmul(
+                sub(u, v), stw_ref[:, s : s + 1], stws_ref[:, s : s + 1]
             )
-            dst[:] = jnp.where(sel, _addmod(u, v), tw)
+            dst[:] = jnp.where(sel, add(u, v), tw)
         src = dst
 
 
-def _pass1_body(x_ref, stw_ref, stws_ref, wm_ref, o_ref, scratch_ref):
-    _dif_col_stages(x_ref, o_ref, scratch_ref, stw_ref, stws_ref)
+def _pass1_body(x_ref, stw_ref, stws_ref, wm_ref, o_ref, scratch_ref, lazy=False):
+    _dif_col_stages(x_ref, o_ref, scratch_ref, stw_ref, stws_ref, lazy=lazy)
+    # REDC absorbs the lazy [0, 2p) range (u < 1.47p before its final
+    # select), so pass 1's output is fully reduced either way.
     o_ref[:] = _mont_mul(o_ref[:], wm_ref[:])
 
 
-def _pass2_body(x_ref, stw_ref, stws_ref, o_ref, scratch_ref):
-    _dif_col_stages(x_ref, o_ref, scratch_ref, stw_ref, stws_ref)
+def _pass2_body(x_ref, stw_ref, stws_ref, o_ref, scratch_ref, lazy=False):
+    _dif_col_stages(x_ref, o_ref, scratch_ref, stw_ref, stws_ref, lazy=lazy)
+    if lazy:  # one final conditional subtract brings [0, 2p) -> [0, p)
+        o = o_ref[:]
+        o_ref[:] = jnp.where(o >= jnp.uint32(P), o - jnp.uint32(P), o)
 
 
 def _transpose_body(x_ref, o_ref):
@@ -305,8 +344,12 @@ def _pallas_transpose(y, interpret: bool):
     )(y)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "inverse", "interpret"))
-def _fused_ntt_jit(x, n: int, inverse: bool, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("n", "inverse", "interpret", "lazy")
+)
+def _fused_ntt_jit(
+    x, n: int, inverse: bool, interpret: bool = False, lazy: bool = False
+):
     plan = _get_plan(n, inverse)
     n1, n2 = plan.n1, plan.n2
     lg1 = n1.bit_length() - 1
@@ -325,7 +368,7 @@ def _fused_ntt_jit(x, n: int, inverse: bool, interpret: bool = False):
         (n1, lg1), lambda j: (0, 0), memory_space=pltpu.VMEM
     )
     y = pl.pallas_call(
-        _pass1_body,
+        functools.partial(_pass1_body, lazy=lazy),
         grid=(n2 // t1,),
         in_specs=[vec, stspec1, stspec1, vec],
         out_specs=vec,
@@ -351,7 +394,7 @@ def _fused_ntt_jit(x, n: int, inverse: bool, interpret: bool = False):
         (n2, lg2), lambda j: (0, 0), memory_space=pltpu.VMEM
     )
     z = pl.pallas_call(
-        _pass2_body,
+        functools.partial(_pass2_body, lazy=lazy),
         grid=(n1 // t2,),
         in_specs=[vec2, stspec2, stspec2],
         out_specs=vec2,
@@ -365,12 +408,21 @@ def _fused_ntt_jit(x, n: int, inverse: bool, interpret: bool = False):
     return jnp.take(z, jnp.asarray(plan.perm2), axis=0).reshape(n)
 
 
-def fused_ntt(x, inverse: bool = False, interpret: bool = False):
+def fused_ntt(
+    x,
+    inverse: bool = False,
+    interpret: bool = False,
+    lazy: bool | None = None,
+):
     """(n,) uint32 in [0, p) -> length-n (i)NTT, natural order.
 
-    Same contract as ops/ntt.ntt / ops/ntt.intt (which are the oracle)."""
+    Same contract as ops/ntt.ntt / ops/ntt.intt (which are the oracle).
+    ``lazy`` selects the Harvey [0, 2p)-range butterflies (bit-identical
+    output; see _LAZY_DEFAULT)."""
     x = jnp.asarray(x, dtype=jnp.uint32)
-    return _fused_ntt_jit(x, x.shape[-1], inverse, interpret)
+    if lazy is None:
+        lazy = _LAZY_DEFAULT
+    return _fused_ntt_jit(x, x.shape[-1], inverse, interpret, lazy)
 
 
 def fused_available(n: int, shape) -> bool:

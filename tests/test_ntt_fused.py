@@ -37,6 +37,33 @@ def test_fused_matches_stockham_inverse(n):
     assert np.array_equal(ref, got)
 
 
+@pytest.mark.parametrize("inverse", [False, True])
+def test_lazy_butterflies_bit_identical(inverse):
+    # Harvey [0, 2p)-range butterflies must produce byte-identical output
+    # to the strict kernels (the final reductions restore [0, p)).
+    n = 1 << 16
+    x = _rand(n)
+    strict = np.asarray(
+        fused_ntt(x, inverse=inverse, interpret=True, lazy=False)
+    )
+    lazy = np.asarray(fused_ntt(x, inverse=inverse, interpret=True, lazy=True))
+    assert np.array_equal(strict, lazy)
+    assert lazy.max() < P
+
+
+def test_lazy_butterflies_extreme_values():
+    # Stress the [0, 2p) range analysis: inputs at the top of the field
+    # (p-1 everywhere) plus a spike pattern maximizes the lazy residues.
+    n = 1 << 16
+    for x in (
+        np.full(n, P - 1, dtype=np.uint32),
+        np.where(np.arange(n) % 2 == 0, P - 1, 0).astype(np.uint32),
+    ):
+        ref = np.asarray(NTT._ntt_jit(x, n))
+        got = np.asarray(fused_ntt(x, interpret=True, lazy=True))
+        assert np.array_equal(ref, got)
+
+
 def test_fused_roundtrip():
     n = 1 << 16
     x = _rand(n)
