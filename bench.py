@@ -107,17 +107,37 @@ def main() -> None:
     xd = jnp.asarray(x)
 
     t_ntt = _chain_time(NTT.ntt, xd, k2=6 if quick else 12)
-    points_per_s = N_NTT / t_ntt
-
-    t_host = _host_numpy_ntt(x)
-    host_pps = N_NTT / t_host
-
     extras = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "ntt_ms": round(t_ntt * 1e3, 3),
-        "host_numpy_ntt_ms": round(t_host * 1e3, 1),
     }
+
+    # A/B the Harvey lazy butterflies against the strict fused kernel when
+    # the fused engine handles this transform (TPU, 1-D, >= 2^16).  Both
+    # are bit-identical (pinned by tests/test_ntt_fused.py and re-checked
+    # on-device here); the headline reports the better configuration and
+    # extras record both timings.
+    from stark_tpu.ops.ntt_fused import fused_available, fused_ntt
+
+    if fused_available(N_NTT, xd.shape):
+        lazy_step = lambda v: fused_ntt(v, lazy=True)  # noqa: E731
+        same = bool(
+            jnp.array_equal(NTT.ntt(xd), lazy_step(xd)).block_until_ready()
+        )
+        if same:
+            t_lazy = _chain_time(lazy_step, xd, k2=6 if quick else 12)
+            extras["ntt_lazy_ms"] = round(t_lazy * 1e3, 3)
+            if t_lazy < t_ntt:
+                t_ntt = t_lazy
+                extras["ntt_best"] = "lazy"
+        else:  # pragma: no cover - would be a kernel bug
+            extras["ntt_lazy_ms"] = "MISMATCH vs strict — not scored"
+    points_per_s = N_NTT / t_ntt
+
+    t_host = _host_numpy_ntt(x)
+    host_pps = N_NTT / t_host
+    extras["host_numpy_ntt_ms"] = round(t_host * 1e3, 1)
 
     if not quick:
         # FRI fold at 2^22 (per-round hot op besides hashing); the double-up
