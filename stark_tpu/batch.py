@@ -37,6 +37,7 @@ from stark_tpu.stark import (
     StarkConfig,
     StarkProver,
     _draw_constraint_challenges,
+    trace_cols_u32,
 )
 from stark_tpu.stream import FieldElements, MerklePath, MerkleRoot, ProofStream
 from stark_tpu.transcript import FiatShamir
@@ -302,9 +303,9 @@ class BatchStarkProver:
         k = cfg.num_colinearity_tests
 
         # 1-2. LDE + trace commitment (batched).
-        cols = (
-            np.asarray(traces, dtype=np.uint64).transpose(0, 2, 1) % P
-        ).astype(np.uint32)                                 # (B, c, T)
+        cols = np.stack(
+            [trace_cols_u32(t) for t in traces]
+        )                                                   # (B, c, T)
         coeffs = NTT.intt(self._place_cols(cols))
         trace_lde = NTT.lde(coeffs, cfg.blowup, d.offset)   # (B, c, N)
         trace_forest = BatchedTrees.from_rows(

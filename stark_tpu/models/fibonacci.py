@@ -29,15 +29,23 @@ class FibonacciAir(Air):
         ]
 
 
-def fibonacci_trace_mod_p(length: int) -> list[list[int]]:
-    """The Fibonacci sequence in F_p — the honest witness for FibonacciAir.
+def fibonacci_trace_mod_p(length: int) -> "np.ndarray":
+    """The Fibonacci sequence in F_p — the honest witness for FibonacciAir,
+    as a (length, 1) uint32 ndarray.
 
     (Trace.fibonacci keeps the reference's exact-integer semantics; proving
-    needs the field-reduced sequence so the transition holds mod p.)
+    needs the field-reduced sequence so the transition holds mod p.  The
+    ndarray return feeds StarkProver.prove's zero-conversion ingestion
+    path — a 2^20-row python list costs ~0.15 s just to convert.)
     """
-    rows = []
-    a, b = 1, 1
-    for _ in range(length):
-        rows.append([a])
-        a, b = b, (a + b) % P
-    return rows
+    import numpy as np
+
+    def gen():
+        a, b = 1, 1
+        for _ in range(length):
+            yield a
+            a, b = b, (a + b) % P
+
+    return np.fromiter(gen(), dtype=np.uint32, count=length).reshape(
+        length, 1
+    )

@@ -181,6 +181,20 @@ def _trace_open_fn(key):
     return jax.jit(fn)
 
 
+def trace_cols_u32(trace_rows) -> np.ndarray:
+    """(T, c) trace rows -> (c, T) uint32 columns reduced mod p.
+
+    uint32 ndarray inputs reduce directly (the zero-conversion ingestion
+    path — converting a 2^20-row python list costs ~0.15 s); anything else
+    takes the exact-integer u64 path, matching the reference's
+    i128->u64-cast-then-reduce semantics (trace.rs:29-34, ff.rs:113-118
+    via the modular ops)."""
+    arr = np.asarray(trace_rows)
+    if arr.dtype == np.uint32:
+        return arr.T % np.uint32(P)
+    return (np.asarray(trace_rows, dtype=np.uint64).T % P).astype(np.uint32)
+
+
 def _draw_constraint_challenges(fs: FiatShamir, field: FiniteField, count: int):
     """count (alpha, beta) pairs; each raw challenge's 8 LE bytes are
     absorbed so successive challenges differ (challenge() is pure)."""
@@ -260,11 +274,9 @@ class StarkProver:
         stream = ProofStream()
 
         # 1. trace columns -> coefficients -> LDE on the coset  [device]
-        # (np.asarray: zero-copy when the caller already passes an ndarray —
-        # converting a 2^20-row python list costs ~0.2 s otherwise)
         with timer.phase("lde"):
-            cols = np.asarray(trace_rows, dtype=np.uint64).T % P     # (c, T)
-            trace_lde = self._lde_trace(cols.astype(np.uint32))      # (c, N)
+            cols = trace_cols_u32(trace_rows)                        # (c, T)
+            trace_lde = self._lde_trace(cols)                        # (c, N)
 
         # 2+3. commit trace and draw constraint-combination challenges.
         # When the trace tree is full-device and the FRI chain is fused,
