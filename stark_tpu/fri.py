@@ -126,6 +126,102 @@ def _commit_round_fn(W: int, L: int):
     return jax.jit(fn)
 
 
+#: Device-sampling candidate headroom: M = 2*number + this. The host
+#: replay falls back to a re-dispatched query phase if M candidates ever
+#: yield fewer than ``number`` distinct reduced indices.
+_SAMPLE_SLACK = 32
+
+#: Don't build the seen-mask scan for absurd reduced sizes (hostile
+#: configs); the classic host path handles them.
+_SAMPLE_MAX_REDUCED = 1 << 14
+
+
+@functools.lru_cache(maxsize=None)
+def _commit_chain_fn(key):
+    """ONE dispatch for the ENTIRE remaining FRI commit phase + index
+    sampling: for each round width in ``widths`` — leaf hash, every Merkle
+    level, root append to the device transcript, challenge, fold
+    (fri.rs:116-153, all rounds fused) — then the sampling seed
+    (fri.rs:272) and the sampled query indices (fri.rs:176-213).
+
+    The per-round bodies use the rolled fori_loop mixes, so the traced
+    graph stays ~rounds x a few hundred ops (the unrolled-chain compile
+    blowup recorded in NOTES.md does not apply).  Keyed on the static
+    structure; ladders/constants arrive as jit arguments."""
+    from stark_tpu.ops import hash_batch as HB
+
+    widths, L0, number, size, reduced_size, M = key
+
+    def fn(codeword, transcript, inv_x_list, inv2_w, inv2_ws):
+        trees_parts, roots, alphas, codewords = [], [], [], []
+        R = len(widths)
+        for r, W in enumerate(widths):
+            v2d = (
+                codeword.reshape(W // HB.LANE, HB.LANE)
+                if W >= 2 * HB.LANE
+                else codeword[None, :]
+            )
+            leaf = HB.leaf_hash_rows_core(v2d, rolled=True)
+            levels, root, stack = HB._tail_levels_core(leaf)
+            trees_parts.append((leaf, levels, stack))
+            roots.append(root)
+            transcript = jnp.concatenate([transcript, root])
+            codewords.append(codeword)
+            if r == R - 1:
+                break
+            alpha_red = HB.transcript_alpha_core(
+                transcript[None, :], rolled=True
+            )[0]
+            alphas.append(alpha_red)
+            half = W // 2
+            s = F.addmod(codeword[:half], codeword[half:])
+            d = F.submod(codeword[:half], codeword[half:])
+            t = F.mont_mul(inv_x_list[r], alpha_red)
+            codeword = F.shoup_mul(
+                F.addmod(s, F.mulmod(t, d)), inv2_w, inv2_ws
+            )
+        seed = HB.seed_digest_rows_core(transcript)
+        indices, count = HB.sample_indices_core(
+            seed, M, size, reduced_size, number
+        )
+        return trees_parts, roots, alphas, codewords, indices, count
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _query_gather_dev_fn(key):
+    """Device-index variant of :func:`_query_gather_fn`: takes the (k,) u32
+    top-level indices straight off the commit chain's sampler (never
+    fetched) and derives each round's (a, b, c) reductions on device —
+    all moduli are powers of two (fri.rs:282-285)."""
+    from stark_tpu.merkle import path_gather_dev
+
+    lengths, n_paths, _n_pres, _has_stack = key
+    R = len(lengths)
+
+    def fn(cws, tree_ops, top_idx):
+        idx = top_idx.astype(jnp.int32)
+        outs = []
+        for i in range(R - 1):
+            half = lengths[i] // 2
+            idx = idx & (half - 1)
+            ab = jnp.concatenate([idx, idx + half])
+            cur_pre, cur_stack = tree_ops[i]
+            nxt_pre, nxt_stack = tree_ops[i + 1]
+            outs.append(
+                (
+                    jnp.take(cws[i], ab),
+                    jnp.take(cws[i + 1], idx),
+                    path_gather_dev(cur_pre, cur_stack, ab, n_paths[i]),
+                    path_gather_dev(nxt_pre, nxt_stack, idx, n_paths[i + 1]),
+                )
+            )
+        return outs
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=None)
 def _query_gather_fn(key):
     """ONE dispatch for the whole FRI query phase: per round, the (a, b)
@@ -469,6 +565,251 @@ class Fri:
         trees.append(last_tree)
         return codewords, trees
 
+    # -- single-fetch prove (chained commit + sampling + query) --------------
+
+    def _chainable(self) -> bool:
+        """True when the whole prove can run as one device dependency
+        chain with a single host fetch: fused rounds available, >= 2
+        rounds (else there are no queries), and the device sampler's
+        seen-mask is reasonably sized."""
+        rounds = self.num_rounds()
+        if not (self.device_chain and self.fused_round and rounds >= 2):
+            return False
+        reduced = self.domain_length >> (rounds - 1)
+        return (
+            reduced <= _SAMPLE_MAX_REDUCED
+            and self.num_colinearity_tests <= reduced
+        )
+
+    def _prove_chained(
+        self,
+        initial_codeword,
+        fiat_shamir,
+        proof_stream: ProofStream,
+        timer=NULL_TIMER,
+        extra_dispatch=None,
+        extra_dispatch_dev=None,
+        extra_meta=None,
+        extra_emit=None,
+        transcript_dev_prefix=None,
+        extra_fetch=None,
+        prefix_replay=None,
+    ):
+        """The whole prove as ~3 dispatches + ONE fetch: wide rounds (if
+        any) dispatch per-round, every round at or below FUSE_MAX_WIDTH
+        plus the sampling seed and query indices fuse into one dispatch
+        (_commit_chain_fn), and the query gather chains directly onto the
+        device-resident indices (_query_gather_dev_fn) — no host round
+        trip anywhere until the single batched fetch.  The host then
+        replays transcript + sampling byte-exactly (fri.rs:105-311) and
+        asserts the device values agree; on a sampler shortfall (device
+        candidate pool exhausted — vanishingly rare) the query phase is
+        re-dispatched with the host's indices, preserving byte-exactness
+        unconditionally."""
+        from stark_tpu.ops import hash_batch as HB
+
+        rounds = self.num_rounds()
+        number = self.num_colinearity_tests
+        codeword = jnp.asarray(initial_codeword, dtype=jnp.uint32)
+
+        with timer.phase("fri_commit"):
+            prefix = bytes(fiat_shamir.transcript)
+            if transcript_dev_prefix is not None:
+                assert not prefix, (
+                    "device transcript prefix and host prefix are exclusive"
+                )
+                transcript_dev = transcript_dev_prefix
+            else:
+                transcript_dev = jnp.asarray(
+                    np.frombuffer(prefix, dtype=np.uint8)
+                    if prefix
+                    else np.zeros((0,), dtype=np.uint8)
+                )
+            codewords: list = []
+            trees: list = []
+            root_devs: list = []
+            alpha_devs: list = []
+            r = 0
+            # Wide prefix: per-round dispatches (their unrolled hash chains
+            # are the HBM-optimal regime; fusing them is the known compile
+            # blowup), still zero host syncs.
+            while (int(codeword.shape[0]) > HB.FUSE_MAX_WIDTH
+                   and r < rounds - 1):
+                tree = self.build_tree_full_device(codeword)
+                root_bytes = tree.root_bytes_dev()
+                root_devs.append(root_bytes)
+                transcript_dev = jnp.concatenate([transcript_dev, root_bytes])
+                alpha_red = HB.device_transcript_alpha(transcript_dev)
+                alpha_devs.append(alpha_red)
+                codewords.append(codeword)
+                trees.append(tree)
+                codeword = _fold_kernel_dynamic(
+                    codeword[: codeword.shape[0] // 2],
+                    codeword[codeword.shape[0] // 2 :],
+                    self._plan.inv_x_mont(r),
+                    alpha_red,
+                    jnp.uint32(_INV2),
+                    jnp.uint32(_INV2_SHOUP),
+                )
+                r += 1
+
+            # Fused chain: every remaining round + seed + sampled indices.
+            widths = tuple(
+                self.domain_length >> i for i in range(r, rounds)
+            )
+            sample_size = self.domain_length >> 1
+            reduced_size = self.domain_length >> (rounds - 1)
+            M = 2 * number + _SAMPLE_SLACK
+            key = (
+                widths,
+                int(transcript_dev.shape[0]),
+                number,
+                sample_size,
+                reduced_size,
+                M,
+            )
+            inv_x_list = [
+                self._plan.inv_x_mont(i) for i in range(r, rounds - 1)
+            ]
+            trees_parts, roots_c, alphas_c, cws_c, idx_dev, count_dev = (
+                _commit_chain_fn(key)(
+                    codeword,
+                    transcript_dev,
+                    inv_x_list,
+                    jnp.uint32(_INV2),
+                    jnp.uint32(_INV2_SHOUP),
+                )
+            )
+            for (leaf, levels, stack), root_bytes in zip(trees_parts, roots_c):
+                tree = MerkleTree(_dev_levels=(leaf,) + levels)
+                tree._root_bytes_dev_cached = root_bytes
+                tree._tail_stack = stack
+                tree._tail_first = 1
+                trees.append(tree)
+                root_devs.append(root_bytes)
+            alpha_devs.extend(alphas_c)
+            codewords.extend(cws_c)
+
+        # Query gather chained onto the device indices (no fetch between).
+        with timer.phase("fri_query"):
+            tree_ops, n_paths = [], []
+            for t in trees:
+                ops_t, n_path = t.gather_operands()
+                tree_ops.append(ops_t)
+                n_paths.append(n_path)
+            qkey = (
+                tuple(int(c.shape[0]) for c in codewords),
+                tuple(n_paths),
+                tuple(len(ops_t[0]) for ops_t in tree_ops),
+                tuple(ops_t[1] is not None for ops_t in tree_ops),
+            )
+            query_dev = _query_gather_dev_fn(qkey)(
+                list(codewords), tree_ops, idx_dev
+            )
+            dev2 = (
+                extra_dispatch_dev(idx_dev)
+                if extra_dispatch_dev is not None
+                else None
+            )
+
+            # THE fetch: everything the proof stream needs, in one transfer.
+            (
+                extras_host,
+                roots_host,
+                alphas_host,
+                last_host,
+                idx_host,
+                count_host,
+                query_host,
+                fetched2,
+            ) = jax.device_get(
+                [
+                    extra_fetch or [],
+                    root_devs,
+                    alpha_devs,
+                    codewords[-1],
+                    idx_dev,
+                    count_dev,
+                    query_dev,
+                    dev2,
+                ]
+            )
+
+            # Host replay: transcript bytes + challenges (asserting the
+            # device alphas), then the stream writes in protocol order.
+            if prefix_replay is not None:
+                prefix_replay(extras_host)
+            for i, rb in enumerate(roots_host):
+                root = Hash(np.asarray(rb).astype(np.uint8).tobytes())
+                trees[i].set_root(root)
+                proof_stream.push(MerkleRoot(root))
+                fiat_shamir.absorb(root.data)
+                if i < len(alphas_host):
+                    alpha = fiat_shamir.challenge(self.field)
+                    if int(alphas_host[i]) != alpha.value % P:
+                        raise RuntimeError(
+                            "device/host transcript divergence"
+                        )
+            proof_stream.push(
+                FieldElements(tuple(int(v) for v in np.asarray(last_host)))
+            )
+
+            # Sampling replay (fri.rs:266-276) + device-agreement check.
+            seed = Hash.from_u64(fiat_shamir.challenge(self.field).value).data
+            top_level_indices = self.sample_indices(
+                seed, sample_size, reduced_size, number
+            )
+            dev_ok = int(count_host) >= number and [
+                int(v) for v in np.asarray(idx_host)
+            ] == top_level_indices
+            if not dev_ok:
+                # Candidate pool exhausted on device: re-dispatch the query
+                # phase with the host's (authoritative) indices.
+                ab_list, c_list, idx_cur = [], [], list(top_level_indices)
+                for i in range(len(codewords) - 1):
+                    half = int(codewords[i].shape[0]) // 2
+                    idx_cur = [ix % half for ix in idx_cur]
+                    a = list(idx_cur)
+                    ab_list.append(
+                        jnp.asarray(a + [x + half for x in a], jnp.int32)
+                    )
+                    c_list.append(jnp.asarray(idx_cur, jnp.int32))
+                query_host = jax.device_get(
+                    _query_gather_fn(qkey)(
+                        list(codewords), tree_ops, ab_list, c_list
+                    )
+                )
+                if extra_dispatch is not None:
+                    meta2, d2 = extra_dispatch(top_level_indices)
+                    fetched2 = jax.device_get(d2)
+                else:
+                    meta2 = None
+            else:
+                meta2 = (
+                    extra_meta(top_level_indices)
+                    if extra_meta is not None
+                    else None
+                )
+
+            # Emit queries (fri.rs:280-307 order).
+            idx_cur = list(top_level_indices)
+            for i, f in enumerate(query_host):
+                half = int(codewords[i].shape[0]) // 2
+                idx_cur = [ix % half for ix in idx_cur]
+                a = list(idx_cur)
+                meta = (
+                    a,
+                    [x + half for x in a],
+                    list(idx_cur),
+                    trees[i],
+                    trees[i + 1],
+                )
+                self._query_emit(meta, f, proof_stream)
+            if extra_emit is not None:
+                extra_emit(meta2, fetched2)
+
+        return top_level_indices
+
     def eval_domain(self) -> list[int]:
         """The evaluation domain {offset * omega^i} (fri.rs:158-166 —
         a helper the reference declares but prove/verify never call)."""
@@ -599,6 +940,8 @@ class Fri:
         proof_stream: ProofStream,
         timer=NULL_TIMER,
         extra_dispatch=None,
+        extra_dispatch_dev=None,
+        extra_meta=None,
         extra_emit=None,
         transcript_dev_prefix=None,
         extra_fetch=None,
@@ -607,12 +950,32 @@ class Fri:
         """extra_dispatch(top_level_indices) -> (meta, device_pytree) lets a
         caller (the STARK layer's trace openings) ride the query phase's
         single device fetch; extra_emit(meta, fetched) consumes it after.
+        extra_dispatch_dev(idx_dev) is its device-index twin for the
+        single-fetch chained path (with extra_meta(top_level_indices)
+        rebuilding the host meta at emit time).
         transcript_dev_prefix / extra_fetch / prefix_replay extend the
         commit chain upstream (see :meth:`commit`)."""
         initial_codeword = jnp.asarray(initial_codeword, dtype=jnp.uint32)
         assert self.domain_length == initial_codeword.shape[0], (
             "initial codeword length does not match domain length"
         )
+
+        if self._chainable() and (
+            extra_dispatch is None or extra_dispatch_dev is not None
+        ):
+            return self._prove_chained(
+                initial_codeword,
+                fiat_shamir,
+                proof_stream,
+                timer=timer,
+                extra_dispatch=extra_dispatch,
+                extra_dispatch_dev=extra_dispatch_dev,
+                extra_meta=extra_meta,
+                extra_emit=extra_emit,
+                transcript_dev_prefix=transcript_dev_prefix,
+                extra_fetch=extra_fetch,
+                prefix_replay=prefix_replay,
+            )
 
         with timer.phase("fri_commit"):
             codewords, trees = self.commit(

@@ -579,6 +579,94 @@ def root_bytes_from_rows(rows):
     return jnp.concatenate([r.reshape(1) for r in rows])
 
 
+# ---------------------------------------------------------------------------
+# Device-resident FRI index sampling (fri.rs:168-213).
+#
+# The prover's query phase needs the sampled indices only as device gather
+# operands; computing them ON DEVICE lets the query gather chain directly
+# onto the commit chain with no intervening host fetch.  The host replays
+# the sampling byte-exactly afterwards (native engine, ~16 scalar hashes)
+# and asserts the device indices agree — the same replay-integrity pattern
+# as the commit chain's alpha check (fri.py).
+# ---------------------------------------------------------------------------
+
+
+def seed_digest_rows_core(transcript):
+    """(L,) u8 device transcript -> sampling-seed digest as 32 (1,) u8 rows.
+
+    seed = Hash::from_u64(u64::from_le_bytes(H(transcript)[..8]))
+    (fri.rs:272 + fiat_shamir.rs:19-25): the u64's LE bytes ARE the
+    transcript digest's first 8 bytes, so the seed hashes those 8 bytes
+    directly — one partial chunk + mix + 8 final mixes (hash.rs:7-30).
+    """
+    st = transcript_state_core(transcript[None, :], rolled=True)
+    s = _init_rows(jnp, (1,))
+    s = _absorb_rows(s, [st[i] for i in range(8)])
+    return _mix_rows_loop(s, 1 + 8)
+
+
+def sample_indices_core(
+    seed_rows, M: int, size: int, reduced_size: int, number: int
+):
+    """Device replica of Fri::sample_indices (fri.rs:176-213) over ``M``
+    candidate counters, all hashed in one vectorized pass.
+
+    Per candidate c: digest = H(seed32 || c_le_u32) (36 bytes = one full
+    chunk + one 4-byte partial, hash.rs:13-27); the byte-fold accumulator's
+    value mod a power-of-two ``size`` depends only on the digest's last
+    four bytes (each byte lands at its own disjoint 8-bit shift, fri.rs:
+    168-174).  Dedup on index % reduced_size mirrors the accept/reject
+    walk with a seen-mask scan; candidates past the ``number``-th accept
+    are never emitted (the reference stops sampling there).
+
+    Returns (indices (number,) u32, accept_count i32).  A count below
+    ``number`` (all M candidates exhausted) means the caller must fall
+    back to host sampling — with M ~ 2*number + 32 this is vanishingly
+    rare for the reference's number <= reduced_size regime.
+    """
+    assert size & (size - 1) == 0 and reduced_size & (reduced_size - 1) == 0
+    c = jnp.arange(M, dtype=jnp.uint32)
+    st = _init_rows(jnp, (M,))
+    seed_b = [jnp.broadcast_to(r, (M,)).astype(jnp.uint8) for r in
+              (row[0] for row in seed_rows)]
+    st = _absorb_rows(st, seed_b)
+    st = _mix_rows(st)
+    st = _absorb_rows(
+        st,
+        [
+            (c & _MASK8).astype(jnp.uint8),
+            ((c >> 8) & _MASK8).astype(jnp.uint8),
+            ((c >> 16) & _MASK8).astype(jnp.uint8),
+            ((c >> 24) & _MASK8).astype(jnp.uint8),
+        ],
+    )
+    st = _mix_rows_loop(st, 1 + 8)
+    low32 = (
+        (st[28].astype(jnp.uint32) << 24)
+        | (st[29].astype(jnp.uint32) << 16)
+        | (st[30].astype(jnp.uint32) << 8)
+        | st[31].astype(jnp.uint32)
+    )
+    idx = low32 & jnp.uint32(size - 1)
+    red = (low32 & jnp.uint32(reduced_size - 1)).astype(jnp.int32)
+
+    def body(carry, x):
+        seen, cnt = carry
+        i_c, r_c = x
+        ok = jnp.logical_and(~seen[r_c], cnt < number)
+        seen = seen.at[r_c].set(True)
+        pos = jnp.where(ok, cnt, number)  # `number` = out-of-bounds: dropped
+        return (seen, cnt + ok.astype(jnp.int32)), (pos, i_c)
+
+    (_, count), (pos, ivals) = jax.lax.scan(
+        body,
+        (jnp.zeros((reduced_size,), jnp.bool_), jnp.int32(0)),
+        (idx, red),
+    )
+    out = jnp.zeros((number,), jnp.uint32).at[pos].set(ivals, mode="drop")
+    return out, count
+
+
 # -- jitted device entry points (stacked (32, N) layout — compat/tests) ----
 
 # Stacked (32, N) entry points are only used at small N (test

@@ -181,6 +181,52 @@ def _trace_open_fn(key):
     return jax.jit(fn)
 
 
+def _dev_cols_idx(top_idx, N: int, blowup: int, offsets: tuple):
+    """Device twin of the host query-point expansion (prove step 6): the
+    FRI round-0 points (a, a+half) per sampled index, then each frame
+    offset — order matches the host comprehension exactly."""
+    half = N // 2
+    a = top_idx.astype(jnp.int32) & (half - 1)
+    qp = jnp.stack([a, a + half], axis=1).reshape(-1)
+    offs = jnp.asarray([k * blowup for k in offsets], jnp.int32)
+    return (qp[:, None] + offs[None, :]).reshape(-1) & (N - 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _trace_open_dev_fn(key):
+    """Device-index variant of :func:`_trace_open_fn`: takes the (k,) u32
+    FRI top-level indices straight off the commit chain's device sampler
+    and derives the opening indices on device — lets the trace openings
+    chain onto the single-fetch prove with no host round trip."""
+    from stark_tpu.merkle import path_gather_dev
+
+    n_path, _n_pre, _has_stack, N, blowup, offsets = key
+
+    def fn(trace_lde, tree_ops, top_idx):
+        idx = _dev_cols_idx(top_idx, N, blowup, offsets)
+        pre, stack = tree_ops
+        return (
+            jnp.take(trace_lde, idx, axis=1),
+            path_gather_dev(pre, stack, idx, n_path),
+        )
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _trace_take_dev_fn(key):
+    """Values-only device gather for host-top trace trees (paths are
+    opened on host at emit time from the replayed indices)."""
+    N, blowup, offsets = key
+
+    def fn(trace_lde, top_idx):
+        return jnp.take(
+            trace_lde, _dev_cols_idx(top_idx, N, blowup, offsets), axis=1
+        )
+
+    return jax.jit(fn)
+
+
 def trace_cols_u32(trace_rows) -> np.ndarray:
     """(T, c) trace rows -> (c, T) uint32 columns reduced mod p.
 
@@ -266,16 +312,29 @@ class StarkProver:
             HB.digests_to_bytes(np.asarray(HB.row_hash(jnp.asarray(trace_lde))))
         )
 
-    def prove(self, trace_rows: list[list[int]], timer=NULL_TIMER) -> bytes:
+    def prove(
+        self, trace_rows=None, timer=NULL_TIMER, *, trace_cols=None
+    ) -> bytes:
+        """``trace_rows``: (T, c) rows (list or ndarray, reference
+        trace.rs:29-34 ingestion semantics).  ``trace_cols``: alternatively
+        a (c, T) uint32 REDUCED column array — may be device-resident, in
+        which case the witness never crosses host->device (a 2^20-row
+        upload costs ~130 ms through this deployment's relay; see
+        models/fibonacci.fibonacci_trace_cols_device)."""
         d, cfg = self.dom, self.cfg
-        assert len(trace_rows) == d.T
         field = FiniteField()
         fs = FiatShamir()
         stream = ProofStream()
 
         # 1. trace columns -> coefficients -> LDE on the coset  [device]
         with timer.phase("lde"):
-            cols = trace_cols_u32(trace_rows)                        # (c, T)
+            if trace_cols is not None:
+                assert trace_rows is None
+                cols = trace_cols                                    # (c, T)
+                assert cols.shape == (self.air.num_registers, d.T)
+            else:
+                assert len(trace_rows) == d.T
+                cols = trace_cols_u32(trace_rows)                    # (c, T)
             trace_lde = self._lde_trace(cols)                        # (c, N)
 
         # 2+3. commit trace and draw constraint-combination challenges.
@@ -337,19 +396,24 @@ class StarkProver:
         # phase's single dispatch + fetch via the extra hooks.
         trace_lde_dev = jnp.asarray(trace_lde)
 
-        def _open_dispatch(top_indices):
-            """Trace openings at the FRI round-0 query points and their
-            frame-shifted companions: values + auth paths, one gather."""
+        def _open_cols_idx(top_indices):
+            """Host expansion of FRI top-level indices to trace-opening
+            indices (must mirror _dev_cols_idx's order)."""
             half = d.N // 2
             query_points = []
             for idx in top_indices:
                 a = idx % half
                 query_points.extend([a, a + half])
-            cols_idx = [
+            return [
                 (qp + k * cfg.blowup) % d.N
                 for qp in query_points
                 for k in self.air.frame_offsets
             ]
+
+        def _open_dispatch(top_indices):
+            """Trace openings at the FRI round-0 query points and their
+            frame-shifted companions: values + auth paths, one gather."""
+            cols_idx = _open_cols_idx(top_indices)
             idx_dev = jnp.asarray(cols_idx, dtype=jnp.int32)
             if trace_tree._top_levels is None:
                 ops_t, n_path = trace_tree.gather_operands()
@@ -361,6 +425,23 @@ class StarkProver:
             return cols_idx, [
                 jnp.take(trace_lde_dev, idx_dev, axis=1),
                 trace_tree.open_batch_dev(cols_idx),
+            ]
+
+        def _open_dispatch_dev(top_idx_dev):
+            """Device-index twin of _open_dispatch for the single-fetch
+            chained prove: indices never visit the host before dispatch."""
+            shape_key = (d.N, cfg.blowup, tuple(self.air.frame_offsets))
+            if trace_tree._top_levels is None:
+                ops_t, n_path = trace_tree.gather_operands()
+                key = (n_path, len(ops_t[0]), ops_t[1] is not None) + shape_key
+                return _trace_open_dev_fn(key)(
+                    trace_lde_dev, ops_t, top_idx_dev
+                )
+            # Host-top tree: values on device; paths opened on host at
+            # emit time (sib=None route in _open_emit).
+            return [
+                _trace_take_dev_fn(shape_key)(trace_lde_dev, top_idx_dev),
+                None,
             ]
 
         def _open_emit(cols_idx, fetched):
@@ -382,6 +463,8 @@ class StarkProver:
             stream,
             timer=timer,
             extra_dispatch=_open_dispatch,
+            extra_dispatch_dev=_open_dispatch_dev,
+            extra_meta=_open_cols_idx,
             extra_emit=_open_emit,
             transcript_dev_prefix=transcript_dev if chain_upstream else None,
             extra_fetch=[troot_dev, digs_dev] if chain_upstream else None,

@@ -107,7 +107,11 @@ class TestDistributedProver:
         assert p1 == p8
         assert StarkVerifier(air, cfg).verify(p8)
 
+    @pytest.mark.slow
     def test_two_device_mesh(self):
+        # Marked slow: a D=2 mesh duplicates every shard_map graph for a
+        # second mesh (~1 min of XLA:CPU compile) while the D=8 test above
+        # plus the driver's dryrun already pin device-count invariance.
         from stark_tpu import StarkConfig, StarkProver
         from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
         from stark_tpu.parallel.pstark import DistributedStarkProver

@@ -135,10 +135,10 @@ class TestPhaseTimer:
             "challenges",
             "compose",
             "fri_commit",
-            "fri_sample",
             "fri_query",
-            # trace openings ride the fri_query dispatch+fetch now; no
-            # separate phase exists.
+            # trace openings ride the fri_query dispatch+fetch, and the
+            # single-fetch chained prove folds index sampling into
+            # fri_query too; neither has a separate phase.
         ):
             assert phase in timer.phases, phase
         assert "total" in timer.report()
