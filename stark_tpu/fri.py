@@ -136,25 +136,74 @@ _SAMPLE_SLACK = 32
 _SAMPLE_MAX_REDUCED = 1 << 14
 
 
-@functools.lru_cache(maxsize=None)
-def _commit_chain_fn(key):
-    """ONE dispatch for the ENTIRE remaining FRI commit phase + index
-    sampling: for each round width in ``widths`` — leaf hash, every Merkle
-    level, root append to the device transcript, challenge, fold
-    (fri.rs:116-153, all rounds fused) — then the sampling seed
-    (fri.rs:272) and the sampled query indices (fri.rs:176-213).
+#: Manual cache for the mega prove jit: lru_cache can't key on the
+#: caller-supplied traceable gather, so the caller provides a stable
+#: ``extra_key`` and we trust it to pin the gather's semantics.
+_MEGA_CACHE: dict = {}
 
-    The per-round bodies use the rolled fori_loop mixes, so the traced
-    graph stays ~rounds x a few hundred ops (the unrolled-chain compile
-    blowup recorded in NOTES.md does not apply).  Keyed on the static
-    structure; ladders/constants arrive as jit arguments."""
+
+def _mega_prove_fn(key, extra_key, extra_gather):
+    """ONE jit for the entire single-fetch prove tail: every FRI commit
+    round at or below FUSE_MAX_WIDTH (leaf hash, Merkle levels, root,
+    challenge, fold — fri.rs:116-153), the sampling seed + query indices
+    (fri.rs:168-213), the query-phase value/path gathers for ALL rounds
+    (fri.rs:215-248), the caller's extra gather (the STARK layer's trace
+    openings), and the byte-packing of everything the host needs.
+
+    Fusing the gathers into the same jit as the tree builds is what makes
+    the chain fast: the per-round tree levels/stacks stay INTERNAL
+    buffers, and XLA materializes only the packed output — returning them
+    as jit outputs measured ~45 ms of buffer-materialization cost at
+    N=2^16 (vs 6 ms for the same compute).
+
+    ``idx_override``/``use_override`` let the host re-run the query phase
+    with authoritative indices (same compiled graph) if the device
+    sampler's bounded candidate pool ever falls short.
+    """
+    from stark_tpu.merkle import path_gather_dev
     from stark_tpu.ops import hash_batch as HB
 
-    widths, L0, number, size, reduced_size, M = key
+    cache_key = (key, extra_key)
+    got = _MEGA_CACHE.get(cache_key)
+    if got is not None:
+        return got
 
-    def fn(codeword, transcript, inv_x_list, inv2_w, inv2_ws):
-        trees_parts, roots, alphas, codewords = [], [], [], []
-        R = len(widths)
+    (
+        widths,          # chain-round codeword lengths (<= FUSE_MAX_WIDTH)
+        L0,              # device transcript length at chain entry
+        number,
+        size,
+        reduced_size,
+        M,
+        all_lengths,     # every round's codeword length (wide + chain)
+        wide_n_paths,    # path lengths of the wide-prefix trees
+        _wide_n_pres,
+        _wide_has_stack,
+    ) = key
+    R = len(all_lengths)
+    R0 = R - len(widths)  # wide-prefix rounds
+
+    def fn(
+        codeword,
+        transcript,
+        inv_x_list,
+        wide_cws,
+        wide_tree_ops,
+        wide_roots,
+        wide_alphas,
+        extra_pack,
+        extra_operands,
+        idx_override,
+        use_override,
+        inv2_w,
+        inv2_ws,
+    ):
+        # -- chain rounds (commit + fold) --------------------------------
+        roots = list(wide_roots)
+        alphas = list(wide_alphas)
+        cws = list(wide_cws)
+        tree_ops = list(wide_tree_ops)
+        n_paths = list(wide_n_paths)
         for r, W in enumerate(widths):
             v2d = (
                 codeword.reshape(W // HB.LANE, HB.LANE)
@@ -162,12 +211,13 @@ def _commit_chain_fn(key):
                 else codeword[None, :]
             )
             leaf = HB.leaf_hash_rows_core(v2d, rolled=True)
-            levels, root, stack = HB._tail_levels_core(leaf)
-            trees_parts.append((leaf, levels, stack))
+            _levels, root, stack = HB._tail_levels_core(leaf)
+            tree_ops.append(((leaf,), stack))
+            n_paths.append(W.bit_length() - 1)
             roots.append(root)
             transcript = jnp.concatenate([transcript, root])
-            codewords.append(codeword)
-            if r == R - 1:
+            cws.append(codeword)
+            if r == len(widths) - 1:
                 break
             alpha_red = HB.transcript_alpha_core(
                 transcript[None, :], rolled=True
@@ -176,50 +226,56 @@ def _commit_chain_fn(key):
             half = W // 2
             s = F.addmod(codeword[:half], codeword[half:])
             d = F.submod(codeword[:half], codeword[half:])
-            t = F.mont_mul(inv_x_list[r], alpha_red)
+            t = F.mont_mul(inv_x_list[R0 + r], alpha_red)
             codeword = F.shoup_mul(
                 F.addmod(s, F.mulmod(t, d)), inv2_w, inv2_ws
             )
+
+        # -- index sampling (device; host replays byte-exactly) ----------
         seed = HB.seed_digest_rows_core(transcript)
         indices, count = HB.sample_indices_core(
             seed, M, size, reduced_size, number
         )
-        return trees_parts, roots, alphas, codewords, indices, count
+        top_idx = jnp.where(use_override, idx_override, indices)
 
-    return jax.jit(fn)
-
-
-@functools.lru_cache(maxsize=None)
-def _query_gather_dev_fn(key):
-    """Device-index variant of :func:`_query_gather_fn`: takes the (k,) u32
-    top-level indices straight off the commit chain's sampler (never
-    fetched) and derives each round's (a, b, c) reductions on device —
-    all moduli are powers of two (fri.rs:282-285)."""
-    from stark_tpu.merkle import path_gather_dev
-
-    lengths, n_paths, _n_pres, _has_stack = key
-    R = len(lengths)
-
-    def fn(cws, tree_ops, top_idx):
+        # -- query gathers for every round (fri.rs:215-248 reads) --------
         idx = top_idx.astype(jnp.int32)
-        outs = []
+        qouts = []
         for i in range(R - 1):
-            half = lengths[i] // 2
+            half = all_lengths[i] // 2
             idx = idx & (half - 1)
             ab = jnp.concatenate([idx, idx + half])
-            cur_pre, cur_stack = tree_ops[i]
-            nxt_pre, nxt_stack = tree_ops[i + 1]
-            outs.append(
+            qouts.append(
                 (
                     jnp.take(cws[i], ab),
                     jnp.take(cws[i + 1], idx),
-                    path_gather_dev(cur_pre, cur_stack, ab, n_paths[i]),
-                    path_gather_dev(nxt_pre, nxt_stack, idx, n_paths[i + 1]),
+                    path_gather_dev(*tree_ops[i], ab, n_paths[i]),
+                    path_gather_dev(*tree_ops[i + 1], idx, n_paths[i + 1]),
                 )
             )
-        return outs
 
-    return jax.jit(fn)
+        extra_out = (
+            extra_gather(top_idx, extra_operands)
+            if extra_gather is not None
+            else None
+        )
+
+        return _pack_u8_core(
+            [
+                extra_pack,
+                roots,
+                alphas,
+                cws[-1],
+                indices,
+                count,
+                qouts,
+                extra_out,
+            ]
+        )
+
+    fn = jax.jit(fn, static_argnames=())
+    _MEGA_CACHE[cache_key] = fn
+    return fn
 
 
 @functools.lru_cache(maxsize=None)
@@ -251,6 +307,40 @@ def _query_gather_fn(key):
         return outs
 
     return jax.jit(fn)
+
+
+def _pack_u8_core(pytree):
+    """Flatten a device pytree into ONE u8 buffer (leaves bitcast to
+    bytes, concatenated in tree order).  Through the relay every fetched
+    array pays its own ~1 ms round trip, so fetching a proof's ~60 pieces
+    individually costs more than the whole transfer; one packed buffer is
+    one round trip."""
+    parts = []
+    for leaf in jax.tree.leaves(pytree):
+        if leaf.dtype != jnp.uint8:
+            leaf = jax.lax.bitcast_convert_type(leaf, jnp.uint8)
+        parts.append(leaf.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+_pack_u8 = jax.jit(_pack_u8_core)
+
+
+def _unpack_u8(buf, dev_pytree):
+    """Host inverse of :func:`_pack_u8_core`: slice the fetched bytes back
+    into numpy leaves shaped/typed like ``dev_pytree``'s."""
+    buf = np.asarray(buf)
+    leaves, treedef = jax.tree.flatten(dev_pytree)
+    out, off = [], 0
+    for leaf in leaves:
+        dt = np.dtype(str(leaf.dtype))
+        nb = int(np.prod(leaf.shape)) * dt.itemsize if leaf.ndim else dt.itemsize
+        out.append(
+            buf[off : off + nb].view(dt).reshape(leaf.shape)
+        )
+        off += nb
+    assert off == buf.shape[0], (off, buf.shape)
+    return jax.tree.unflatten(treedef, out)
 
 
 class FriPlan:
@@ -587,24 +677,24 @@ class Fri:
         fiat_shamir,
         proof_stream: ProofStream,
         timer=NULL_TIMER,
-        extra_dispatch=None,
-        extra_dispatch_dev=None,
+        extra_gather=None,
+        extra_operands=None,
+        extra_gather_key=None,
         extra_meta=None,
         extra_emit=None,
         transcript_dev_prefix=None,
         extra_fetch=None,
         prefix_replay=None,
     ):
-        """The whole prove as ~3 dispatches + ONE fetch: wide rounds (if
-        any) dispatch per-round, every round at or below FUSE_MAX_WIDTH
-        plus the sampling seed and query indices fuse into one dispatch
-        (_commit_chain_fn), and the query gather chains directly onto the
-        device-resident indices (_query_gather_dev_fn) — no host round
-        trip anywhere until the single batched fetch.  The host then
+        """The whole prove as ONE mega dispatch + ONE fetch: wide rounds
+        (if any) dispatch per-round, then everything else — remaining
+        commit rounds, index sampling, all query gathers, the caller's
+        extra gather, byte packing — fuses into _mega_prove_fn; no host
+        round trip anywhere until the single packed fetch.  The host then
         replays transcript + sampling byte-exactly (fri.rs:105-311) and
         asserts the device values agree; on a sampler shortfall (device
-        candidate pool exhausted — vanishingly rare) the query phase is
-        re-dispatched with the host's indices, preserving byte-exactness
+        candidate pool exhausted — vanishingly rare) the SAME graph is
+        re-run with the host's indices, preserving byte-exactness
         unconditionally."""
         from stark_tpu.ops import hash_batch as HB
 
@@ -653,13 +743,24 @@ class Fri:
                 )
                 r += 1
 
-            # Fused chain: every remaining round + seed + sampled indices.
+            # Mega dispatch: every remaining round's commit + fold, the
+            # sampling seed + query indices, ALL rounds' query gathers,
+            # the caller's trace-opening gather, and the byte-packing —
+            # one jit, one output buffer (see _mega_prove_fn).
             widths = tuple(
                 self.domain_length >> i for i in range(r, rounds)
+            )
+            all_lengths = tuple(
+                self.domain_length >> i for i in range(rounds)
             )
             sample_size = self.domain_length >> 1
             reduced_size = self.domain_length >> (rounds - 1)
             M = 2 * number + _SAMPLE_SLACK
+            wide_tree_ops, wide_n_paths = [], []
+            for t in trees:
+                ops_t, n_path = t.gather_operands()
+                wide_tree_ops.append(ops_t)
+                wide_n_paths.append(n_path)
             key = (
                 widths,
                 int(transcript_dev.shape[0]),
@@ -667,52 +768,87 @@ class Fri:
                 sample_size,
                 reduced_size,
                 M,
+                all_lengths,
+                tuple(wide_n_paths),
+                tuple(len(o[0]) for o in wide_tree_ops),
+                tuple(o[1] is not None for o in wide_tree_ops),
             )
             inv_x_list = [
-                self._plan.inv_x_mont(i) for i in range(r, rounds - 1)
+                self._plan.inv_x_mont(i) for i in range(rounds - 1)
             ]
-            trees_parts, roots_c, alphas_c, cws_c, idx_dev, count_dev = (
-                _commit_chain_fn(key)(
+            mega = _mega_prove_fn(key, extra_gather_key, extra_gather)
+
+            def run_mega(idx_override, use_override: bool):
+                return mega(
                     codeword,
                     transcript_dev,
                     inv_x_list,
+                    list(codewords),
+                    wide_tree_ops,
+                    root_devs,
+                    alpha_devs,
+                    extra_fetch or [],
+                    extra_operands if extra_operands is not None else [],
+                    idx_override,
+                    jnp.bool_(use_override),
                     jnp.uint32(_INV2),
                     jnp.uint32(_INV2_SHOUP),
                 )
-            )
-            for (leaf, levels, stack), root_bytes in zip(trees_parts, roots_c):
-                tree = MerkleTree(_dev_levels=(leaf,) + levels)
-                tree._root_bytes_dev_cached = root_bytes
-                tree._tail_stack = stack
-                tree._tail_first = 1
-                trees.append(tree)
-                root_devs.append(root_bytes)
-            alpha_devs.extend(alphas_c)
-            codewords.extend(cws_c)
 
-        # Query gather chained onto the device indices (no fetch between).
-        with timer.phase("fri_query"):
-            tree_ops, n_paths = [], []
-            for t in trees:
-                ops_t, n_path = t.gather_operands()
-                tree_ops.append(ops_t)
-                n_paths.append(n_path)
-            qkey = (
-                tuple(int(c.shape[0]) for c in codewords),
-                tuple(n_paths),
-                tuple(len(ops_t[0]) for ops_t in tree_ops),
-                tuple(ops_t[1] is not None for ops_t in tree_ops),
-            )
-            query_dev = _query_gather_dev_fn(qkey)(
-                list(codewords), tree_ops, idx_dev
-            )
-            dev2 = (
-                extra_dispatch_dev(idx_dev)
-                if extra_dispatch_dev is not None
-                else None
-            )
+            packed = run_mega(jnp.zeros((number,), jnp.uint32), False)
 
-            # THE fetch: everything the proof stream needs, in one transfer.
+            # Host-side unpack spec (static layout of the packed buffer).
+            # Cached per structure: the eval_shape trace of the extra
+            # gather costs tens of ms per call otherwise.
+            ef_leaves = jax.tree.leaves(extra_fetch or [])
+            spec_key = (
+                "spec",
+                key,
+                extra_gather_key,
+                jax.tree.structure(extra_fetch or []),
+                tuple((l.shape, str(l.dtype)) for l in ef_leaves),
+            )
+            spec = _MEGA_CACHE.get(spec_key)
+            if spec is None:
+                SDS = jax.ShapeDtypeStruct
+                n_paths_all = list(wide_n_paths) + [
+                    w.bit_length() - 1 for w in widths
+                ]
+                k = number
+                qspec = [
+                    (
+                        SDS((2 * k,), jnp.uint32),
+                        SDS((k,), jnp.uint32),
+                        SDS((n_paths_all[i], 2 * k, 32), jnp.uint8),
+                        SDS((n_paths_all[i + 1], k, 32), jnp.uint8),
+                    )
+                    for i in range(rounds - 1)
+                ]
+                extra_spec = (
+                    jax.eval_shape(
+                        extra_gather,
+                        SDS((number,), jnp.uint32),
+                        extra_operands if extra_operands is not None else [],
+                    )
+                    if extra_gather is not None
+                    else None
+                )
+                spec = [
+                    jax.tree.map(
+                        lambda a: SDS(a.shape, a.dtype), extra_fetch or []
+                    ),
+                    [SDS((32,), jnp.uint8)] * rounds,
+                    [SDS((), jnp.uint32)] * (rounds - 1),
+                    SDS((reduced_size,), jnp.uint32),
+                    SDS((number,), jnp.uint32),
+                    SDS((), jnp.int32),
+                    qspec,
+                    extra_spec,
+                ]
+                _MEGA_CACHE[spec_key] = spec
+            k = number
+
+        with timer.phase("fri_fetch"):
             (
                 extras_host,
                 roots_host,
@@ -722,26 +858,17 @@ class Fri:
                 count_host,
                 query_host,
                 fetched2,
-            ) = jax.device_get(
-                [
-                    extra_fetch or [],
-                    root_devs,
-                    alpha_devs,
-                    codewords[-1],
-                    idx_dev,
-                    count_dev,
-                    query_dev,
-                    dev2,
-                ]
-            )
+            ) = _unpack_u8(jax.device_get(packed), spec)
 
+        with timer.phase("fri_emit"):
             # Host replay: transcript bytes + challenges (asserting the
             # device alphas), then the stream writes in protocol order.
             if prefix_replay is not None:
                 prefix_replay(extras_host)
             for i, rb in enumerate(roots_host):
                 root = Hash(np.asarray(rb).astype(np.uint8).tobytes())
-                trees[i].set_root(root)
+                if i < len(trees):
+                    trees[i].set_root(root)
                 proof_stream.push(MerkleRoot(root))
                 fiat_shamir.absorb(root.data)
                 if i < len(alphas_host):
@@ -763,48 +890,45 @@ class Fri:
                 int(v) for v in np.asarray(idx_host)
             ] == top_level_indices
             if not dev_ok:
-                # Candidate pool exhausted on device: re-dispatch the query
-                # phase with the host's (authoritative) indices.
-                ab_list, c_list, idx_cur = [], [], list(top_level_indices)
-                for i in range(len(codewords) - 1):
-                    half = int(codewords[i].shape[0]) // 2
-                    idx_cur = [ix % half for ix in idx_cur]
-                    a = list(idx_cur)
-                    ab_list.append(
-                        jnp.asarray(a + [x + half for x in a], jnp.int32)
-                    )
-                    c_list.append(jnp.asarray(idx_cur, jnp.int32))
-                query_host = jax.device_get(
-                    _query_gather_fn(qkey)(
-                        list(codewords), tree_ops, ab_list, c_list
-                    )
+                # Candidate pool exhausted on device (bounded M candidates
+                # vs the reference's unbounded walk): re-run the SAME
+                # compiled graph with the host's authoritative indices.
+                packed2 = run_mega(
+                    jnp.asarray(top_level_indices, jnp.uint32), True
                 )
-                if extra_dispatch is not None:
-                    meta2, d2 = extra_dispatch(top_level_indices)
-                    fetched2 = jax.device_get(d2)
-                else:
-                    meta2 = None
-            else:
-                meta2 = (
-                    extra_meta(top_level_indices)
-                    if extra_meta is not None
-                    else None
+                (_, _, _, _, _, _, query_host, fetched2) = _unpack_u8(
+                    jax.device_get(packed2), spec
                 )
+            meta2 = (
+                extra_meta(top_level_indices)
+                if extra_meta is not None
+                else None
+            )
 
-            # Emit queries (fri.rs:280-307 order).
+            # Emit queries (fri.rs:280-307 order).  All trees on this path
+            # are full-device, so the fetched sibling bytes ARE the whole
+            # paths (no host-top completion step).
             idx_cur = list(top_level_indices)
             for i, f in enumerate(query_host):
-                half = int(codewords[i].shape[0]) // 2
+                half = all_lengths[i] // 2
                 idx_cur = [ix % half for ix in idx_cur]
-                a = list(idx_cur)
-                meta = (
-                    a,
-                    [x + half for x in a],
-                    list(idx_cur),
-                    trees[i],
-                    trees[i + 1],
-                )
-                self._query_emit(meta, f, proof_stream)
+                cur_vals, nxt_vals, cur_sib, nxt_sib = f
+                cur_paths = MerkleTree.paths_from_dev(cur_sib)
+                nxt_paths = MerkleTree.paths_from_dev(nxt_sib)
+                for s in range(k):
+                    proof_stream.push(
+                        FieldElements(
+                            (
+                                int(cur_vals[s]),
+                                int(cur_vals[k + s]),
+                                int(nxt_vals[s]),
+                            )
+                        )
+                    )
+                for s in range(k):
+                    proof_stream.push(MerklePath(tuple(cur_paths[s])))
+                    proof_stream.push(MerklePath(tuple(cur_paths[k + s])))
+                    proof_stream.push(MerklePath(tuple(nxt_paths[s])))
             if extra_emit is not None:
                 extra_emit(meta2, fetched2)
 
@@ -940,7 +1064,9 @@ class Fri:
         proof_stream: ProofStream,
         timer=NULL_TIMER,
         extra_dispatch=None,
-        extra_dispatch_dev=None,
+        extra_gather=None,
+        extra_operands=None,
+        extra_gather_key=None,
         extra_meta=None,
         extra_emit=None,
         transcript_dev_prefix=None,
@@ -950,9 +1076,11 @@ class Fri:
         """extra_dispatch(top_level_indices) -> (meta, device_pytree) lets a
         caller (the STARK layer's trace openings) ride the query phase's
         single device fetch; extra_emit(meta, fetched) consumes it after.
-        extra_dispatch_dev(idx_dev) is its device-index twin for the
-        single-fetch chained path (with extra_meta(top_level_indices)
-        rebuilding the host meta at emit time).
+        For the single-fetch chained path the caller instead provides a
+        TRACEABLE ``extra_gather(idx_dev, extra_operands) -> pytree``
+        (device arrays in ``extra_operands``, semantics pinned by the
+        hashable ``extra_gather_key``), with extra_meta(top_level_indices)
+        rebuilding the host meta at emit time.
         transcript_dev_prefix / extra_fetch / prefix_replay extend the
         commit chain upstream (see :meth:`commit`)."""
         initial_codeword = jnp.asarray(initial_codeword, dtype=jnp.uint32)
@@ -961,15 +1089,16 @@ class Fri:
         )
 
         if self._chainable() and (
-            extra_dispatch is None or extra_dispatch_dev is not None
+            extra_dispatch is None or extra_gather is not None
         ):
             return self._prove_chained(
                 initial_codeword,
                 fiat_shamir,
                 proof_stream,
                 timer=timer,
-                extra_dispatch=extra_dispatch,
-                extra_dispatch_dev=extra_dispatch_dev,
+                extra_gather=extra_gather,
+                extra_operands=extra_operands,
+                extra_gather_key=extra_gather_key,
                 extra_meta=extra_meta,
                 extra_emit=extra_emit,
                 transcript_dev_prefix=transcript_dev_prefix,

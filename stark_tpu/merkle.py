@@ -84,6 +84,19 @@ def path_gather_dev(pre_levels, stack, idx, n_path: int):
     return jnp.concatenate(parts, axis=0)
 
 
+@functools.lru_cache(maxsize=None)
+def _stack_open_fn(key):
+    """Jitted stack-route path gather for light full-device trees."""
+    import jax
+
+    n_path, _n_pre = key
+
+    def fn(pre, stack, idx):
+        return path_gather_dev(pre, stack, idx, n_path)
+
+    return jax.jit(fn)
+
+
 def _rows_width(rows) -> int:
     # (R, 128) tiles above one lane tile; (1, w) below it.
     return int(rows[0].shape[0]) * int(rows[0].shape[1])
@@ -185,16 +198,18 @@ class MerkleTree:
     def _finish_device(leaf_rows) -> "MerkleTree":
         """Device build from leaf digests: per-level combines (one jit per
         width, shared across rounds) while wide, then the fused tail builder
-        (ops/hash_batch.tail_levels) takes everything at or below
-        ``FUSE_MAX_WIDTH`` to the root in ONE dispatch — dispatch latency
-        through the relay (~1.3 ms/call) dominates the narrow levels'
-        compute.  The result is a FULL-device tree (root on device)."""
+        takes everything at or below ``FUSE_MAX_WIDTH`` to the root in ONE
+        dispatch — dispatch latency through the relay (~1.3 ms/call)
+        dominates the narrow levels' compute.  The result is a FULL-device
+        LIGHT tree: only the pre-tail levels, the root, and the raw padded
+        tail stack are materialized (per-level slice outputs measured
+        ~45 ms of buffer cost at 2^16; gathers read the stack directly and
+        :attr:`levels` reconstructs host bytes from it on demand)."""
         dev = [leaf_rows]
         while _rows_width(dev[-1]) > HB.FUSE_MAX_WIDTH:
             dev.append(HB.level_rows(dev[-1]))
         n_pre = len(dev)
-        tail, root, stack = HB.tail_levels(dev[-1])
-        dev.extend(tail)
+        root, stack = HB.tail_levels_light(dev[-1])
         tree = MerkleTree(_dev_levels=tuple(dev))
         tree._root_bytes_dev_cached = root
         tree._tail_stack = stack
@@ -208,7 +223,8 @@ class MerkleTree:
         which consumes the root digest on device (ops/hash_batch.
         device_transcript_alpha) and fetches every round's root in one
         batched transfer afterwards.  Widths in [256, FUSE_MAX_WIDTH] build
-        leaf hash + every level in ONE dispatch (hash_batch.tree_from_values)."""
+        leaf hash + every level in ONE dispatch; light trees as in
+        :meth:`_finish_device`."""
         import jax.numpy as jnp
 
         n = int(values.shape[0])
@@ -220,8 +236,8 @@ class MerkleTree:
             else v[None, :]
         )
         if n <= HB.FUSE_MAX_WIDTH:
-            leaf, tail, root, stack = HB.tree_from_values(v2d)
-            tree = MerkleTree(_dev_levels=(leaf,) + tail)
+            leaf, root, stack = HB.tree_from_values_light(v2d)
+            tree = MerkleTree(_dev_levels=(leaf,))
             tree._root_bytes_dev_cached = root
             tree._tail_stack = stack
             tree._tail_first = 1
@@ -230,8 +246,7 @@ class MerkleTree:
         while _rows_width(dev[-1]) > HB.FUSE_MAX_WIDTH:
             dev.append(HB.level_rows(dev[-1]))
         n_pre = len(dev)
-        tail, root, stack = HB.tail_levels(dev[-1])
-        dev.extend(tail)
+        root, stack = HB.tail_levels_light(dev[-1])
         tree = MerkleTree(_dev_levels=tuple(dev))
         tree._root_bytes_dev_cached = root
         tree._tail_stack = stack
@@ -243,6 +258,9 @@ class MerkleTree:
         assert self._top_levels is None
         if self._root_bytes_dev_cached is not None:
             return self._root_bytes_dev_cached
+        if self._tail_stack is not None:
+            s = self._tail_stack
+            return s[-1, :, 0, 0] if s.ndim == 4 else s[-1, :, 0]
         return HB.root_bytes_from_rows(self._dev_levels[-1])
 
     # -- level access --------------------------------------------------------
@@ -250,11 +268,17 @@ class MerkleTree:
     @property
     def levels(self) -> list[np.ndarray]:
         """All host (w, 32) u8 byte levels, leaf level first (materializes
-        device levels — test/debug use)."""
+        device levels — test/debug use).  Light trees reconstruct the tail
+        levels from the raw padded stack (valid-prefix slices)."""
         if self._host_all is None:
-            self._host_all = [
-                _rows_to_host_bytes(lv) for lv in self._dev_levels
-            ] + (self._top_levels or [])
+            out = [_rows_to_host_bytes(lv) for lv in self._dev_levels]
+            if self._tail_stack is not None:
+                stack = np.asarray(self._tail_stack).astype(np.uint8)
+                w = self.num_leaves >> self._tail_first
+                for i in range(stack.shape[0]):
+                    out.append(HB.stack_level_host_bytes(stack, i, w))
+                    w //= 2
+            self._host_all = out + (self._top_levels or [])
         return self._host_all
 
     @property
@@ -321,7 +345,7 @@ class MerkleTree:
         :func:`path_gather_dev`, plus the static path length.  Full-device
         trees only."""
         assert self._top_levels is None
-        n_path = len(self._dev_levels) - 1
+        n_path = self.num_leaves.bit_length() - 1  # pow2-asserted leaves
         if self._tail_stack is not None:
             return (
                 self._dev_levels[: self._tail_first],
@@ -338,10 +362,16 @@ class MerkleTree:
             return None
         import jax.numpy as jnp
 
+        idx = jnp.asarray(indices, dtype=jnp.int32)
+        if self._top_levels is None and self._tail_stack is not None:
+            # Light full-device tree: gather straight from the tail stack.
+            ops, n_path = self.gather_operands()
+            key = (n_path, len(ops[0]))
+            return _stack_open_fn(key)(ops[0], ops[1], idx)
         # Full-device trees include the root level, which paths exclude.
         n_lv = len(self._dev_levels) - (1 if self._top_levels is None else 0)
         return _open_batch_fn(self.num_leaves, n_lv, len(indices))(
-            self._dev_levels, jnp.asarray(indices, dtype=jnp.int32)
+            self._dev_levels, idx
         )
 
     @staticmethod

@@ -67,29 +67,103 @@ def _mix_rows(s):
     return [(new[i] + int(rc[i])) & _MASK8 for i in range(32)]
 
 
+# ---------------------------------------------------------------------------
+# Stacked-state mix: the 32 byte rows carried as ONE (32, ...) u8 array.
+#
+# The row-list mix (~250 tiny ops) is the right shape for the WIDE
+# bandwidth-bound kernels, where XLA fuses the unrolled chain into a few
+# HBM passes.  But on the LATENCY-bound paths — the fused tree tails, the
+# device transcript hashes, the index sampler — each round's cost is op
+# ISSUE, not bytes: ~250 sequential VPU ops on near-empty vectors.
+# Stacking the state makes every mix step one full-array op:
+#
+# * sbox: 3 ops on the whole (32, ...) array (mul-251/rotl/xor);
+# * the 4-byte-group XOR mixing (hash.rs:63-75): reshape to (8, 4, ...),
+#   4 stacked combinations, reshape back — ~8 ops;
+# * the sequential neighbor diffusion (hash.rs:77-81) is a PREFIX SUM:
+#   new[i] = new[i-1] + s[i] + s[i+1] telescopes to cumsum(v) with
+#   v[0] = s[0]+s[1]+s[31], v[i] = s[i]+s[i+1] — one u8 cumsum along the
+#   byte axis (log-depth in XLA) instead of 31 chained adds, with the
+#   special-cased new[31] = s[31] + new[0] + new[30] appended;
+# * round constants: one broadcast add.
+#
+# ~20 ops per mix, ~12x fewer than the row-list form; uint8 wrapping IS
+# the hash's mod-256 arithmetic throughout (cumsum mod 256 is associative,
+# so XLA's log-step scan computes the same bytes).
+# ---------------------------------------------------------------------------
+
+def _rc_for(s):
+    rc = jnp.asarray(ROUND_CONSTANTS, dtype=jnp.uint8)
+    return rc.reshape((32,) + (1,) * (s.ndim - 1))
+
+
+def _mix_stacked(s):
+    """One mix round (hash.rs:59-86) on a stacked (32, ...) u8 state."""
+    x = _rotl8(s * jnp.uint8(251), 1) ^ jnp.uint8(0x63)
+    t = x.reshape((8, 4) + x.shape[1:])
+    t0, t1, t2, t3 = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
+    g = jnp.stack(
+        [t0 ^ t1 ^ t3, t0 ^ t2 ^ t3, t0 ^ t1 ^ t2, t1 ^ t2 ^ t3], axis=1
+    ).reshape(x.shape)
+    v = g + jnp.roll(g, -1, axis=0)
+    v = v.at[0].add(g[31])
+    c = jnp.cumsum(v, axis=0, dtype=jnp.uint8)
+    last = g[31] + c[0] + c[30]
+    out = jnp.concatenate([c[:31], last[None]], axis=0)
+    return out + _rc_for(s)
+
+
+def _absorb_stacked(s, chunk):
+    """Absorb one <=32-byte chunk (hash.rs:14-23) on a stacked state.
+    ``chunk``: (k, ...) u8, k <= 32.  The absorb recurrence feeds forward
+    (s[i+7] ^= s[i] affects a later read), so it stays sequential — but
+    it is only ~2 ops per byte, unlike the mix."""
+    k = chunk.shape[0]
+    for i in range(k):
+        s = s.at[i].set(_rotl8(s[i] + chunk[i], 3))
+        j = (i + 7) % 32
+        s = s.at[j].set(s[j] ^ s[i])
+    return s
+
+
+def _mix_stacked_loop(s, n: int):
+    if n <= 0:
+        return s
+    s = _mix_stacked(s)  # keeps the carry type-stable under shard_map
+    return jax.lax.fori_loop(0, n - 1, lambda i, a: _mix_stacked(a), s)
+
+
+def _combine_stacked(left, right):
+    """Hash::combine on stacked (32, ...) u8 digests (hash.rs:41-46):
+    two 32-byte chunks, a mix after each, plus 8 final mixes — all in
+    stacked form (the latency-optimal shape for narrow widths)."""
+    s = _init_stacked(left.shape[1:])
+    s = _absorb_stacked(s, left)
+    s = _mix_stacked(s)
+    s = _absorb_stacked(s, right)
+    return _mix_stacked_loop(s, 1 + 8)
+
+
+def _init_stacked(shape):
+    init = jnp.asarray(np.tile(PRIMES, 2), dtype=jnp.uint8)
+    return jnp.broadcast_to(
+        init.reshape((32,) + (1,) * len(shape)), (32,) + tuple(shape)
+    )
+
+
 def _mix_rows_loop(s, n: int):
-    """``n`` identical mix rounds via fori_loop (jnp only).
+    """``n`` identical mix rounds on a LIST of 32 rows, routed through the
+    stacked-state mix (one stack + n low-op-count rounds + 32 slices) —
+    the row-list API kept for the absorb-side callers.
 
     The mix round is data-independent — hash.rs:59-86 applies the SAME
-    constants table every round — so the ~250-op body can be traced once
-    instead of unrolled n times.  Used by the narrow/fused kernels where
-    XLA compile time, not HBM bandwidth, is the binding constraint (an
-    unrolled mix chain fuses better and is kept for the wide leaf/level
-    kernels).
-
-    The FIRST round runs unrolled: after an absorb, state rows the input
-    bytes never touched are still replicated constants, and under
-    shard_map a fori_loop rejects a carry whose varying-axis types change
-    (replicated in, varying out).  One mix's neighbor diffusion makes
-    every row data-dependent, so the loop carry is type-stable."""
+    constants table every round — so the body is traced once; stacking
+    also makes the fori_loop carry type-stable under shard_map (every
+    row rides one varying array)."""
     if n == 0:
         return list(s)
-    s = _mix_rows(list(s))
-    return list(
-        jax.lax.fori_loop(
-            0, n - 1, lambda i, st: tuple(_mix_rows(list(st))), tuple(s)
-        )
-    )
+    st = _mix_stacked_loop(jnp.stack(list(s), axis=0), n)
+    return [st[i] for i in range(32)]
 
 
 def _init_rows(xp, shape):
@@ -220,12 +294,17 @@ def row_hash_rows_core(cols, rolled: bool = False):
     byte_rows = []
     for r in range(c):
         byte_rows.extend(_value_rows(cols[r]))
+    if rolled:
+        st = _init_stacked(cols.shape[1:])
+        for start in range(0, len(byte_rows), 32):
+            chunk = jnp.stack(byte_rows[start : start + 32], axis=0)
+            st = _mix_stacked(_absorb_stacked(st, chunk))
+        st = _mix_stacked_loop(st, 8)
+        return tuple(st[i] for i in range(32))
     state = _init_rows(jnp, cols.shape[1:])
     for start in range(0, len(byte_rows), 32):
         state = _absorb_rows(state, byte_rows[start : start + 32])
         state = _mix_rows(state)
-    if rolled:
-        return tuple(_mix_rows_loop(state, 8))
     for _ in range(8):
         state = _mix_rows(state)
     return tuple(state)
@@ -233,12 +312,15 @@ def row_hash_rows_core(cols, rolled: bool = False):
 
 def combine_rows_core(left, right, rolled: bool = False):
     """Two row-tuples -> combined row-tuple (Hash::combine per lane)."""
+    if rolled:
+        st = _combine_stacked(
+            jnp.stack(list(left), axis=0), jnp.stack(list(right), axis=0)
+        )
+        return tuple(st[i] for i in range(32))
     state = _init_rows(jnp, left[0].shape)
     state = _absorb_rows(state, list(left))
     state = _mix_rows(state)
     state = _absorb_rows(state, list(right))
-    if rolled:
-        return tuple(_mix_rows_loop(state, 1 + 8))
     for _ in range(1 + 8):
         state = _mix_rows(state)
     return tuple(state)
@@ -291,10 +373,14 @@ FUSE_MAX_WIDTH = 1 << 16
 
 
 def _tail_levels_core(leaf_rows):
-    """Row-tuple at width W -> (levels, root_bytes): every level below the
-    input down to width 1 (row-tuple layout, widest first) plus the (32,)
-    u8 root digest.  Traced inline; one fori_loop whose combine body is
-    traced ONCE (unrolling levels is the known compile-time blowup).
+    """Row-tuple at width W -> (levels, root_bytes, stack): every level
+    below the input down to width 1 (row-tuple layout, widest first), the
+    (32,) u8 root digest, and the raw padded level stack
+    ((L, 32, R/2, 128) u8; level i's valid prefix is W >> (i+1) nodes,
+    row-major) kept for vectorized path gathers.  Traced inline; one
+    fori_loop whose STACKED combine body is traced once — the tail is the
+    latency-bound regime, so the state rides the (32, ...) stacked layout
+    (~12x fewer sequential ops than the row-list mixes; see _mix_stacked).
     Handles both the tiled (R, 128) layout (R >= 2) and the sub-tile
     (1, w) layout (w >= 2)."""
     R = int(leaf_rows[0].shape[0])
@@ -308,36 +394,35 @@ def _tail_levels_core(leaf_rows):
     for i in range(L):
         w = W >> (i + 1)
         if w >= LANE:
-            levels.append(tuple(out[b][i, : w // LANE, :] for b in range(32)))
+            levels.append(tuple(out[i, b, : w // LANE, :] for b in range(32)))
         else:
-            levels.append(tuple(out[b][i, :1, :w] for b in range(32)))
-    root = jnp.stack([out[b][L - 1, 0, 0] for b in range(32)])
-    # `out` is the raw padded stack — 32 x (L, R/2, 128), level i's valid
-    # prefix is W >> (i+1) nodes — kept for vectorized path gathers
-    # (one gather op per digest byte across ALL levels at once).
+            levels.append(tuple(out[i, b, :1, :w] for b in range(32)))
+    root = out[L - 1, :, 0, 0]
     return tuple(levels), root, out
 
 
 def _tail_loop(leaf_rows, L: int):
-    """The fixed-width level loop: 32 x (R, 128) leaf rows -> 32 x
-    (L, R/2, 128) padded level stacks (level i's valid prefix is
-    R*128 >> (i+1) nodes, row-major)."""
+    """The fixed-width level loop: 32 x (R, 128) leaf rows (row-tuple) ->
+    (L, 32, R/2, 128) padded level stack (level i's valid prefix is
+    R*128 >> (i+1) nodes, row-major).  Carry and combine are STACKED."""
     R = int(leaf_rows[0].shape[0])
     Rh = R // 2
 
     def body(i, carry):
-        cur, out = carry
-        left = tuple(c[:, 0::2].reshape(Rh, LANE) for c in cur)
-        right = tuple(c[:, 1::2].reshape(Rh, LANE) for c in cur)
-        par = combine_rows_core(left, right, rolled=True)
-        out = tuple(o.at[i].set(p) for o, p in zip(out, par))
+        cur, out = carry  # cur: (32, R, 128)
+        left = cur[:, :, 0::2].reshape(32, Rh, LANE)
+        right = cur[:, :, 1::2].reshape(32, Rh, LANE)
+        par = _combine_stacked(left, right)  # (32, Rh, 128)
+        out = out.at[i].set(par)
         # Refill the carry to full (R, 128); the bottom half is garbage
         # beyond the (halved) valid prefix.
-        cur = tuple(jnp.concatenate([p, p], axis=0) for p in par)
+        cur = jnp.concatenate([par, par], axis=1)
         return cur, out
 
-    out0 = tuple(jnp.zeros((L, Rh, LANE), jnp.uint8) for _ in range(32))
-    _, out = jax.lax.fori_loop(0, L, body, (tuple(leaf_rows), out0))
+    out0 = jnp.zeros((L, 32, Rh, LANE), jnp.uint8)
+    _, out = jax.lax.fori_loop(
+        0, L, body, (jnp.stack(list(leaf_rows), axis=0), out0)
+    )
     return out
 
 
@@ -359,12 +444,12 @@ def forest_tail_levels_core(leaf_rows, B: int, n: int):
         wg = B * wp
         if wp >= LANE:
             levels.append(
-                tuple(out[b][i, : wg // LANE, :] for b in range(32))
+                tuple(out[i, b, : wg // LANE, :] for b in range(32))
             )
         else:
             levels.append(
                 tuple(
-                    out[b][i].reshape(-1)[:wg].reshape(B, wp)
+                    out[i, b].reshape(-1)[:wg].reshape(B, wp)
                     for b in range(32)
                 )
             )
@@ -372,50 +457,49 @@ def forest_tail_levels_core(leaf_rows, B: int, n: int):
 
 
 def _tail_levels_narrow(leaf_rows):
-    """Sub-tile variant: 32 x (1, w) rows, w >= 2 a power of two."""
+    """Sub-tile variant: 32 x (1, w) rows, w >= 2 a power of two.
+    Stack layout: (L, 32, w/2)."""
     w = int(leaf_rows[0].shape[1])
     L = w.bit_length() - 1
     wh = w // 2
 
     def body(i, carry):
-        cur, out = carry
-        left = tuple(c[:, 0::2] for c in cur)
-        right = tuple(c[:, 1::2] for c in cur)
-        par = combine_rows_core(left, right, rolled=True)  # 32 x (1, wh)
-        out = tuple(o.at[i].set(p[0]) for o, p in zip(out, par))
-        cur = tuple(jnp.concatenate([p, p], axis=1) for p in par)
+        cur, out = carry  # cur: (32, w)
+        par = _combine_stacked(cur[:, 0::2], cur[:, 1::2])  # (32, wh)
+        out = out.at[i].set(par)
+        cur = jnp.concatenate([par, par], axis=1)
         return cur, out
 
-    out0 = tuple(jnp.zeros((L, wh), jnp.uint8) for _ in range(32))
-    _, out = jax.lax.fori_loop(0, L, body, (tuple(leaf_rows), out0))
+    out0 = jnp.zeros((L, 32, wh), jnp.uint8)
+    _, out = jax.lax.fori_loop(
+        0, L, body, (jnp.stack([r[0] for r in leaf_rows], axis=0), out0)
+    )
     levels = tuple(
-        tuple(out[b][i, : w >> (i + 1)][None, :] for b in range(32))
+        tuple(out[i, b, : w >> (i + 1)][None, :] for b in range(32))
         for i in range(L)
     )
-    root = jnp.stack([out[b][L - 1, 0] for b in range(32)])
+    root = out[L - 1, :, 0]
     return levels, root, out
 
 
 def stack_path_gather(stack, idx, first_level: int, n_levels: int):
     """Vectorized sibling-digest gather from a tail stack (traceable).
 
-    ``stack``: 32 x (L, R/2, 128) (wide) or 32 x (L, w/2) (narrow) padded
-    level stacks; ``idx``: (k,) i32 LEAF-level query indices of the tree;
+    ``stack``: (L, 32, R/2, 128) (wide) or (L, 32, w/2) (narrow) padded
+    level stack; ``idx``: (k,) i32 LEAF-level query indices of the tree;
     stack level i holds tree level ``first_level + i``.  Returns
-    (n_levels, k, 32) u8 — one gather op per digest byte covers every
-    level at once (the per-level alternative costs 32 ops PER level).
-    """
+    (n_levels, k, 32) u8 — ONE gather covers every level and every digest
+    byte at once (the byte axis rides along densely)."""
     shifts = (
         jnp.arange(n_levels, dtype=jnp.int32)[:, None] + first_level
     )
     sib = (idx[None, :] >> shifts) ^ 1  # (n_levels, k) node siblings
-    lvl = jnp.arange(n_levels, dtype=jnp.int32)[:, None]
-    if stack[0].ndim == 3:
+    L3 = jnp.arange(n_levels, dtype=jnp.int32)[:, None, None]
+    B3 = jnp.arange(32, dtype=jnp.int32)[None, None, :]
+    if stack.ndim == 4:
         rows, cols = sib // LANE, sib % LANE
-        per_b = [s[lvl, rows, cols] for s in stack]
-    else:
-        per_b = [s[lvl, sib] for s in stack]
-    return jnp.stack(per_b, axis=2)
+        return stack[L3, B3, rows[:, :, None], cols[:, :, None]]
+    return stack[L3, B3, sib[:, :, None]]
 
 
 @functools.lru_cache(maxsize=None)
@@ -426,6 +510,26 @@ def _tail_levels_fn(shape):
 def tail_levels(rows):
     """One-dispatch tail build below a width-W row-tuple (W >= 2)."""
     return _tail_levels_fn(tuple(rows[0].shape))(rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _tail_levels_light_fn(shape):
+    """Tail build materializing ONLY (root, stack) as outputs.
+
+    The sliced per-level row-tuples are ~32*log2(W) extra output buffers;
+    materializing them measured ~45 ms at W=2^16 (vs ~6 ms for the same
+    compute) through this deployment's runtime.  Path gathers read the
+    raw stack directly, so full-device trees never need the slices."""
+
+    def fn(rows):
+        _levels, root, stack = _tail_levels_core(rows)
+        return root, stack
+
+    return jax.jit(fn)
+
+
+def tail_levels_light(rows):
+    return _tail_levels_light_fn(tuple(rows[0].shape))(rows)
 
 
 @functools.lru_cache(maxsize=None)
@@ -443,6 +547,33 @@ def _tree_from_values_fn(shape):
 
 def tree_from_values(v2d):
     return _tree_from_values_fn(tuple(v2d.shape))(v2d)
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_from_values_light_fn(shape):
+    """Light variant of :func:`_tree_from_values_fn`: (leaf, root, stack)
+    only — no per-level slice outputs (see _tail_levels_light_fn)."""
+
+    def fn(v2d):
+        leaf = leaf_hash_rows_core(v2d, rolled=True)
+        _levels, root, stack = _tail_levels_core(leaf)
+        return leaf, root, stack
+
+    return jax.jit(fn)
+
+
+def tree_from_values_light(v2d):
+    return _tree_from_values_light_fn(tuple(v2d.shape))(v2d)
+
+
+def stack_level_host_bytes(stack: np.ndarray, i: int, width: int) -> np.ndarray:
+    """Valid prefix of padded-stack level ``i`` as (width, 32) host bytes
+    (row-major node order; used to reconstruct MerkleTree.levels lazily)."""
+    if stack.ndim == 4:
+        flat = stack[i].reshape(32, -1)  # (32, Rh*128), node j at column j
+    else:
+        flat = stack[i]  # (32, wh)
+    return np.ascontiguousarray(flat[:, :width].T.astype(np.uint8))
 
 
 def rows_to_stacked(rows):
@@ -509,34 +640,44 @@ def transcript_state_core(transcripts, rolled: bool = False):
     rows (= Hash::from_bytes of each transcript, hash.rs:7-30).  Traceable
     inline; length is read from the static shape.  Chunking matches
     hash.rs:13-27 (partial last chunk absorbed then mixed).  ``rolled``
-    runs the full 32-byte chunks through a lax.scan and the final mixes
-    through a fori_loop — same bytes, ~7x smaller graph."""
+    runs everything in the STACKED state layout — full chunks through a
+    lax.scan, final mixes through a fori_loop — same bytes, small graph
+    AND low sequential op count (this path hashes B=1 transcripts on the
+    device commit chain, pure latency)."""
     B, length = transcripts.shape
     assert length > 0
+    if rolled:
+        state = _init_stacked((B,))
+        fc = length // 32
+        if fc > 1:
+            # (fc, 32, B): chunk-major, byte rows stacked per chunk.
+            xs = (
+                transcripts[:, : 32 * fc]
+                .reshape(B, fc, 32)
+                .transpose(1, 2, 0)
+            )
+
+            def chunk_body(st, x):
+                return _mix_stacked(_absorb_stacked(st, x)), None
+
+            state, _ = jax.lax.scan(chunk_body, state, xs)
+            start = 32 * fc
+        else:
+            start = 0
+        for c in range(start, length, 32):
+            size = min(32, length - c)
+            chunk = transcripts[:, c : c + size].T  # (size, B)
+            state = _mix_stacked(_absorb_stacked(state, chunk))
+        state = _mix_stacked_loop(state, 8)
+        return [state[i] for i in range(32)]
     state = _init_rows(jnp, (B,))
-    fc = length // 32
-    if rolled and fc > 1:
-        xs = transcripts[:, : 32 * fc].reshape(B, fc, 32).transpose(1, 0, 2)
-
-        def chunk_body(st, x):
-            st = _absorb_rows(list(st), [x[:, i] for i in range(32)])
-            return tuple(_mix_rows(st)), None
-
-        state, _ = jax.lax.scan(chunk_body, tuple(state), xs)
-        state = list(state)
-        start = 32 * fc
-    else:
-        start = 0
-    for c in range(start, length, 32):
+    for c in range(0, length, 32):
         size = min(32, length - c)
         chunk = [transcripts[:, c + i] for i in range(size)]
         state = _absorb_rows(state, chunk)
         state = _mix_rows(state)
-    if rolled:
-        state = _mix_rows_loop(state, 8)
-    else:
-        for _ in range(8):
-            state = _mix_rows(state)
+    for _ in range(8):
+        state = _mix_rows(state)
     return state
 
 
@@ -600,9 +741,10 @@ def seed_digest_rows_core(transcript):
     directly — one partial chunk + mix + 8 final mixes (hash.rs:7-30).
     """
     st = transcript_state_core(transcript[None, :], rolled=True)
-    s = _init_rows(jnp, (1,))
-    s = _absorb_rows(s, [st[i] for i in range(8)])
-    return _mix_rows_loop(s, 1 + 8)
+    s = _init_stacked((1,))
+    s = _absorb_stacked(s, jnp.stack(st[:8], axis=0))
+    s = _mix_stacked_loop(s, 1 + 8)
+    return [s[i] for i in range(32)]
 
 
 def sample_indices_core(
@@ -626,21 +768,22 @@ def sample_indices_core(
     """
     assert size & (size - 1) == 0 and reduced_size & (reduced_size - 1) == 0
     c = jnp.arange(M, dtype=jnp.uint32)
-    st = _init_rows(jnp, (M,))
-    seed_b = [jnp.broadcast_to(r, (M,)).astype(jnp.uint8) for r in
-              (row[0] for row in seed_rows)]
-    st = _absorb_rows(st, seed_b)
-    st = _mix_rows(st)
-    st = _absorb_rows(
-        st,
+    st = _init_stacked((M,))
+    seed_b = jnp.broadcast_to(
+        jnp.stack([row[0] for row in seed_rows], axis=0)[:, None], (32, M)
+    )
+    st = _mix_stacked(_absorb_stacked(st, seed_b))
+    ctr = jnp.stack(
         [
             (c & _MASK8).astype(jnp.uint8),
             ((c >> 8) & _MASK8).astype(jnp.uint8),
             ((c >> 16) & _MASK8).astype(jnp.uint8),
             ((c >> 24) & _MASK8).astype(jnp.uint8),
         ],
+        axis=0,
     )
-    st = _mix_rows_loop(st, 1 + 8)
+    st = _absorb_stacked(st, ctr)
+    st = _mix_stacked_loop(st, 1 + 8)
     low32 = (
         (st[28].astype(jnp.uint32) << 24)
         | (st[29].astype(jnp.uint32) << 16)

@@ -88,10 +88,10 @@ def _finish_tree(leaf_rows, mesh: Mesh) -> MerkleTree:
     while _rows_width(dev[-1]) >= 2 * HB.LANE * D:
         dev.append(_level_fn(mesh, _rows_width(dev[-1]))(dev[-1]))
     # The cross-shard top: one fused dispatch (GSPMD gathers the tiny
-    # boundary level over ICI), stack + root included.
+    # boundary level over ICI), stack + root included (light tree — see
+    # MerkleTree._finish_device).
     n_pre = len(dev)
-    tail, root, stack = HB.tail_levels(dev[-1])
-    dev.extend(tail)
+    root, stack = HB.tail_levels_light(dev[-1])
     tree = MerkleTree(_dev_levels=tuple(dev))
     tree._root_bytes_dev_cached = root
     tree._tail_stack = stack

@@ -192,39 +192,32 @@ def _dev_cols_idx(top_idx, N: int, blowup: int, offsets: tuple):
     return (qp[:, None] + offs[None, :]).reshape(-1) & (N - 1)
 
 
-@functools.lru_cache(maxsize=None)
-def _trace_open_dev_fn(key):
-    """Device-index variant of :func:`_trace_open_fn`: takes the (k,) u32
-    FRI top-level indices straight off the commit chain's device sampler
-    and derives the opening indices on device — lets the trace openings
-    chain onto the single-fetch prove with no host round trip."""
+def _open_gather_full(top_idx, operands, *, N, blowup, offsets, n_path):
+    """TRACEABLE trace-opening gather for the single-fetch chained prove
+    (full-device trace trees): FRI top-level indices (device-resident,
+    straight off the chain's sampler) -> opened column values + sibling
+    paths.  Runs INSIDE fri._mega_prove_fn; semantics pinned by the
+    extra_gather_key the prover builds."""
     from stark_tpu.merkle import path_gather_dev
 
-    n_path, _n_pre, _has_stack, N, blowup, offsets = key
-
-    def fn(trace_lde, tree_ops, top_idx):
-        idx = _dev_cols_idx(top_idx, N, blowup, offsets)
-        pre, stack = tree_ops
-        return (
-            jnp.take(trace_lde, idx, axis=1),
-            path_gather_dev(pre, stack, idx, n_path),
-        )
-
-    return jax.jit(fn)
+    trace_lde, pre, stack = operands
+    idx = _dev_cols_idx(top_idx, N, blowup, offsets)
+    return [
+        jnp.take(trace_lde, idx, axis=1),
+        path_gather_dev(pre, stack, idx, n_path),
+    ]
 
 
-@functools.lru_cache(maxsize=None)
-def _trace_take_dev_fn(key):
-    """Values-only device gather for host-top trace trees (paths are
-    opened on host at emit time from the replayed indices)."""
-    N, blowup, offsets = key
-
-    def fn(trace_lde, top_idx):
-        return jnp.take(
+def _open_gather_values(top_idx, operands, *, N, blowup, offsets):
+    """Values-only variant for host-top trace trees (paths are opened on
+    host at emit time from the replayed indices)."""
+    (trace_lde,) = operands
+    return [
+        jnp.take(
             trace_lde, _dev_cols_idx(top_idx, N, blowup, offsets), axis=1
-        )
-
-    return jax.jit(fn)
+        ),
+        None,
+    ]
 
 
 def trace_cols_u32(trace_rows) -> np.ndarray:
@@ -427,22 +420,35 @@ class StarkProver:
                 trace_tree.open_batch_dev(cols_idx),
             ]
 
-        def _open_dispatch_dev(top_idx_dev):
-            """Device-index twin of _open_dispatch for the single-fetch
-            chained prove: indices never visit the host before dispatch."""
-            shape_key = (d.N, cfg.blowup, tuple(self.air.frame_offsets))
-            if trace_tree._top_levels is None:
-                ops_t, n_path = trace_tree.gather_operands()
-                key = (n_path, len(ops_t[0]), ops_t[1] is not None) + shape_key
-                return _trace_open_dev_fn(key)(
-                    trace_lde_dev, ops_t, top_idx_dev
-                )
-            # Host-top tree: values on device; paths opened on host at
-            # emit time (sib=None route in _open_emit).
-            return [
-                _trace_take_dev_fn(shape_key)(trace_lde_dev, top_idx_dev),
-                None,
-            ]
+        # Traceable gather + operands + stable key for the single-fetch
+        # chained prove (fri._mega_prove_fn runs the gather inline so the
+        # trace openings ride the one packed fetch).
+        shape_key = (d.N, cfg.blowup, tuple(self.air.frame_offsets))
+        if trace_tree._top_levels is None:
+            ops_t, n_path = trace_tree.gather_operands()
+            extra_operands = (trace_lde_dev, ops_t[0], ops_t[1])
+            extra_gather = functools.partial(
+                _open_gather_full,
+                N=d.N,
+                blowup=cfg.blowup,
+                offsets=tuple(self.air.frame_offsets),
+                n_path=n_path,
+            )
+            extra_gather_key = (
+                "trace_open_full",
+                n_path,
+                len(ops_t[0]),
+                ops_t[1] is not None,
+            ) + shape_key
+        else:
+            extra_operands = (trace_lde_dev,)
+            extra_gather = functools.partial(
+                _open_gather_values,
+                N=d.N,
+                blowup=cfg.blowup,
+                offsets=tuple(self.air.frame_offsets),
+            )
+            extra_gather_key = ("trace_open_values",) + shape_key
 
         def _open_emit(cols_idx, fetched):
             vals, sib = fetched
@@ -463,7 +469,9 @@ class StarkProver:
             stream,
             timer=timer,
             extra_dispatch=_open_dispatch,
-            extra_dispatch_dev=_open_dispatch_dev,
+            extra_gather=extra_gather,
+            extra_operands=extra_operands,
+            extra_gather_key=extra_gather_key,
             extra_meta=_open_cols_idx,
             extra_emit=_open_emit,
             transcript_dev_prefix=transcript_dev if chain_upstream else None,

@@ -62,5 +62,24 @@ cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=4)
 proof = StarkProver(FibonacciAir(), cfg).prove(fibonacci_trace_mod_p(64))
 proof_sha = hashlib.sha256(proof).hexdigest()
 
-print(json.dumps({"ntt_sha": ntt_sha, "proof_sha": proof_sha}))
+out = {"ntt_sha": ntt_sha, "proof_sha": proof_sha}
+
+# -- 3. (optional) FULL distributed prover over the global mesh -------------
+# STARK_DIST_T triggers a DistributedStarkProver run whose sharded NTT,
+# sharded Merkle subtrees and sharded folds all span the process boundary;
+# at T=512 / D=8 the shapes match the in-process D=8 test and the driver
+# dryrun, so the graphs come warm from the persistent cache.
+dist_T = int(os.environ.get("STARK_DIST_T", "0"))
+if dist_T:
+    from stark_tpu.parallel.pstark import DistributedStarkProver
+
+    dcfg = StarkConfig(
+        trace_length=dist_T, blowup=4, num_colinearity_tests=8
+    )
+    dproof = DistributedStarkProver(FibonacciAir(), dcfg, mesh).prove(
+        fibonacci_trace_mod_p(dist_T)
+    )
+    out["dist_proof_sha"] = hashlib.sha256(dproof).hexdigest()
+
+print(json.dumps(out))
 sys.stdout.flush()

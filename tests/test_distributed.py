@@ -46,9 +46,9 @@ class TestEnvValidation:
         initialize_distributed()  # must not raise, must not initialize
 
 
-@pytest.mark.slow
-def test_two_process_prove_and_collective():
-    nproc = 2
+def _run_workers(nproc: int, devices_per_proc: int = 1, extra_env=None):
+    """Launch nproc copies of distributed_worker.py joined via
+    jax.distributed; returns their parsed JSON outputs."""
     port = _free_port()
     procs = []
     base_env = {
@@ -61,13 +61,14 @@ def test_two_process_prove_and_collective():
             base_env,
             JAX_PLATFORMS="cpu",
             XLA_FLAGS=(
-                "--xla_force_host_platform_device_count=1 "
+                f"--xla_force_host_platform_device_count={devices_per_proc} "
                 "--xla_cpu_max_isa=AVX2"
             ),
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
             JAX_NUM_PROCESSES=str(nproc),
             JAX_PROCESS_ID=str(pid),
             PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+            **(extra_env or {}),
         )
         procs.append(
             subprocess.Popen(
@@ -82,13 +83,19 @@ def test_two_process_prove_and_collective():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=900)
+            out, err = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             pytest.fail("distributed worker timed out")
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_prove_and_collective():
+    outs = _run_workers(2, devices_per_proc=1)
 
     # Both processes agree on the cross-process NTT and the proof bytes.
     assert outs[0] == outs[1]
@@ -109,3 +116,25 @@ def test_two_process_prove_and_collective():
     cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=4)
     proof = StarkProver(FibonacciAir(), cfg).prove(fibonacci_trace_mod_p(64))
     assert outs[0]["proof_sha"] == hashlib.sha256(proof).hexdigest()
+
+
+@pytest.mark.slow
+def test_two_process_four_devices_sharded_prover():
+    """2 OS processes x 4 virtual devices each = one 8-device global mesh:
+    the FULL DistributedStarkProver (sharded four-step NTT, sharded Merkle
+    subtrees, sharded folds) composes across the process boundary and its
+    proof bytes equal the single-process single-device prover's (VERDICT
+    r2 item 9).  T=512 -> N=2048 engages the sharded-tree path (the
+    2*128*D floor) with graphs warm from the in-process D=8 tests."""
+    import hashlib
+
+    outs = _run_workers(2, devices_per_proc=4, extra_env={"STARK_DIST_T": "512"})
+    assert outs[0] == outs[1]
+    assert "dist_proof_sha" in outs[0]
+
+    from stark_tpu import StarkConfig, StarkProver
+    from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
+
+    cfg = StarkConfig(trace_length=512, blowup=4, num_colinearity_tests=8)
+    proof = StarkProver(FibonacciAir(), cfg).prove(fibonacci_trace_mod_p(512))
+    assert outs[0]["dist_proof_sha"] == hashlib.sha256(proof).hexdigest()

@@ -135,12 +135,16 @@ class TestPhaseTimer:
             "challenges",
             "compose",
             "fri_commit",
-            "fri_query",
-            # trace openings ride the fri_query dispatch+fetch, and the
-            # single-fetch chained prove folds index sampling into
-            # fri_query too; neither has a separate phase.
+            # trace openings and index sampling ride the fused dispatch +
+            # single fetch; no separate phases exist for them.
         ):
             assert phase in timer.phases, phase
+        # Chained prove: one packed fetch + host emit; classic prove:
+        # sample + query phases.  Either decomposition must be present.
+        assert {"fri_fetch", "fri_emit"} <= set(timer.phases) or {
+            "fri_sample",
+            "fri_query",
+        } <= set(timer.phases), timer.phases
         assert "total" in timer.report()
         assert set(timer.ms()) == set(timer.phases)
 
