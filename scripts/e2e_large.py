@@ -22,27 +22,33 @@ def main() -> None:
     import jax
 
     from stark_tpu import StarkConfig, StarkProver, StarkVerifier
-    from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
+    from stark_tpu.models.fibonacci import FibonacciAir
     from stark_tpu.utils.cache import enable_compilation_cache
     from stark_tpu.utils.profiling import PhaseTimer
 
     enable_compilation_cache()
     print("backend:", jax.default_backend(), jax.devices()[0])
 
+    from stark_tpu.models.fibonacci import fibonacci_trace_cols_device
+
     cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=16)
     air = FibonacciAir()
-    trace = fibonacci_trace_mod_p(T)
     prover = StarkProver(air, cfg)
 
+    # Witness generated ON DEVICE (a 2^20-row trace is a 4 MB upload at
+    # the relay's ~30 MB/s otherwise); equality with the host generator
+    # is pinned by tests/test_models.py.
+    cols = fibonacci_trace_cols_device(T).block_until_ready()
+
     t0 = time.perf_counter()
-    proof = prover.prove(trace)  # compile + warm
+    proof = prover.prove(trace_cols=cols)  # compile + warm
     print(f"cold prove: {time.perf_counter() - t0:.2f} s")
 
     best = float("inf")
     for _ in range(3):
         timer = PhaseTimer()
         t0 = time.perf_counter()
-        proof = prover.prove(trace, timer=timer)
+        proof = prover.prove(trace_cols=cols, timer=timer)
         dt = time.perf_counter() - t0
         if dt < best:
             best, best_phases = dt, timer.ms()

@@ -276,7 +276,12 @@ class BatchStarkProver:
         self.mesh = mesh
         self._single = StarkProver(air, cfg)
         self.fri = self._single.fri
-        self._compose_v = jax.jit(jax.vmap(self._single._compose_impl))
+        self._compose_v = jax.jit(
+            jax.vmap(
+                self._single._compose_impl,
+                in_axes=(0, 0, 0, None, None, None, None, None),
+            )
+        )
 
     def _place_cols(self, cols):
         """Commit (B, c, T) trace columns to the mesh's domain sharding
@@ -328,7 +333,9 @@ class BatchStarkProver:
         betas_h = jnp.asarray([b_ for _, b_ in ab], dtype=jnp.uint32)
 
         # 4. composition codewords (batched, one fused jit).
-        codeword = self._compose_v(trace_lde, alphas_h, betas_h)  # (B, N)
+        codeword = self._compose_v(
+            trace_lde, alphas_h, betas_h, *self._single._domain_consts()
+        )  # (B, N)
 
         # 5. FRI commit: fully device-chained for the whole batch.
         prefixes = [bytes(fss[b].transcript) for b in range(B)]

@@ -479,6 +479,12 @@ class Fri:
     #: sharded trees/folds disable this and keep the per-piece chain.
     fused_round = True
 
+    def _fetch(self, tree):
+        """device_get hook; the multi-process sharded subclass replicates
+        globally-sharded leaves first (a process may not fetch shards it
+        does not own)."""
+        return jax.device_get(tree)
+
     def commit(
         self,
         initial_codeword,
@@ -596,7 +602,7 @@ class Fri:
             # upstream-prefix arrays; + the final codeword when the chain
             # covered every round — saving its separate sync).
             if root_devs or extra_fetch:
-                fetched = jax.device_get(
+                fetched = self._fetch(
                     [
                         extra_fetch or [],
                         root_devs,
@@ -648,7 +654,9 @@ class Fri:
             r += 1
 
         last_np = (
-            np.asarray(last_host) if last_host is not None else np.asarray(codeword)
+            np.asarray(last_host)
+            if last_host is not None
+            else np.asarray(self._fetch(codeword))
         )
         proof_stream.push(FieldElements(tuple(int(v) for v in last_np)))
         codewords.append(codeword)
@@ -1052,7 +1060,7 @@ class Fri:
         meta, dev = self._query_dispatch(
             current_codeword, next_codeword, c_indices, current_tree, next_tree
         )
-        self._query_emit(meta, jax.device_get(dev), proof_stream)
+        self._query_emit(meta, self._fetch(dev), proof_stream)
         return meta[0] + meta[1]
 
     # -- prove (fri.rs:250-311) -----------------------------------------------------
@@ -1190,7 +1198,7 @@ class Fri:
             meta2 = dev2 = None
             if extra_dispatch is not None:
                 meta2, dev2 = extra_dispatch(top_level_indices)
-            fetched, fetched2 = jax.device_get([dev, dev2])
+            fetched, fetched2 = self._fetch([dev, dev2])
             for meta, f in zip(metas, fetched):
                 self._query_emit(meta, f, proof_stream)
             if extra_emit is not None:

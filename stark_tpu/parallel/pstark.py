@@ -80,6 +80,25 @@ class ShardedFri(Fri):
             return pmerkle.sharded_tree_from_values(codeword, self.mesh)
         return super().build_tree_full_device(codeword)
 
+    def _fetch(self, tree):
+        """Multi-process safe fetch: a process may only device_get shards
+        it owns, so globally-sharded leaves (the codeword under P(AXIS),
+        gathers over it, ...) are replicated across the mesh first — a
+        GSPMD all-gather over ICI, identical bytes on every process (which
+        is also what keeps the host control planes in lockstep)."""
+        import jax
+
+        if jax.process_count() == 1:
+            return jax.device_get(tree)
+        rep = NamedSharding(self.mesh, P())
+
+        def pull(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return jax.jit(lambda a: a, out_shardings=rep)(x)
+            return x
+
+        return jax.device_get(jax.tree.map(pull, tree))
+
     def __init__(self, *args, mesh: Mesh, **kwargs):
         super().__init__(*args, **kwargs)
         self.mesh = mesh

@@ -363,7 +363,9 @@ class StarkProver:
 
         # 4. composition codeword  [device, one fused jit]
         with timer.phase("compose"):
-            composition = self._compose_jit(trace_lde, alphas_c, betas_c)
+            composition = self._compose_jit(
+                trace_lde, alphas_c, betas_c, *self._domain_consts()
+            )
 
         def _prefix_replay(extras):
             """Host replay of the deferred trace commitment + challenge
@@ -481,12 +483,17 @@ class StarkProver:
 
         return stream.serialize()
 
-    def _compose_impl(self, trace_lde, alphas, betas):
+    def _compose_impl(
+        self, trace_lde, alphas, betas, x_dom, zinv, excl, xshift_t, xshift_b
+    ):
         """Composition codeword: pointwise over the coset, fully fuseable.
 
         alphas/betas are (n_terms,) uint32 arrays (reduced challenges);
-        indexing with static term counters keeps the graph unrolled.
-        """
+        indexing with static term counters keeps the graph unrolled.  The
+        (N,)-sized domain constants arrive as ARGUMENTS, not closure
+        captures — under the multi-process mesh they are globally sharded
+        arrays, which jit may not close over (and passing them keeps the
+        compiled graph shared across prover instances)."""
         d = self.dom
         frame = {
             k: [
@@ -499,14 +506,14 @@ class StarkProver:
         total = jnp.zeros((d.N,), dtype=jnp.uint32)
         ci = 0
         for c in cons:
-            q = F.mulmod(F.mulmod(c, self.excl), self.zinv)
-            w = F.addmod(F.mulmod(self.xshift_t, alphas[ci]), betas[ci])
+            q = F.mulmod(F.mulmod(c, excl), zinv)
+            w = F.addmod(F.mulmod(xshift_t, alphas[ci]), betas[ci])
             total = F.addmod(total, F.mulmod(w, q))
             ci += 1
         if d.boundary:
             denoms = jnp.stack(
                 [
-                    F.submod(self.x_dom, jnp.uint32(pow(d.omega, bc.row, P)))
+                    F.submod(x_dom, jnp.uint32(pow(d.omega, bc.row, P)))
                     for bc in d.boundary
                 ]
             )
@@ -514,10 +521,13 @@ class StarkProver:
             for bi, bc in enumerate(d.boundary):
                 num = F.submod(frame[0][bc.register], jnp.uint32(bc.value % P))
                 q = F.mulmod(num, dinv[bi])
-                w = F.addmod(F.mulmod(self.xshift_b, alphas[ci]), betas[ci])
+                w = F.addmod(F.mulmod(xshift_b, alphas[ci]), betas[ci])
                 total = F.addmod(total, F.mulmod(w, q))
                 ci += 1
         return total
+
+    def _domain_consts(self):
+        return (self.x_dom, self.zinv, self.excl, self.xshift_t, self.xshift_b)
 
 
 class StarkVerifier:

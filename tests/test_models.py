@@ -26,6 +26,38 @@ def test_prove_verify_roundtrip(air_cls, tracer):
     assert StarkVerifier(air, cfg).verify(proof)
 
 
+def test_device_trace_generator_matches_host():
+    """fibonacci_trace_cols_device == fibonacci_trace_mod_p (the witness
+    never leaves the device in the large-config path; trace.rs:36-49
+    contract preserved through the rank-2 block decomposition)."""
+    import numpy as np
+
+    from stark_tpu.models.fibonacci import (
+        fibonacci_trace_cols_device,
+        fibonacci_trace_mod_p,
+    )
+
+    for T in (1, 2, 3, 64, 1000, 4096):
+        host = fibonacci_trace_mod_p(T)[:, 0]
+        dev = np.asarray(fibonacci_trace_cols_device(T))[0]
+        assert np.array_equal(host, dev), T
+
+
+def test_device_trace_cols_prove_bytes_match_rows():
+    from stark_tpu import StarkConfig, StarkProver
+    from stark_tpu.models.fibonacci import (
+        FibonacciAir,
+        fibonacci_trace_cols_device,
+        fibonacci_trace_mod_p,
+    )
+
+    cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=4)
+    air = FibonacciAir()
+    a = StarkProver(air, cfg).prove(fibonacci_trace_mod_p(64))
+    b = StarkProver(air, cfg).prove(trace_cols=fibonacci_trace_cols_device(64))
+    assert a == b
+
+
 def test_cheating_witness_rejected():
     cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=8)
     air = TwoRegisterFibonacciAir()
