@@ -44,7 +44,9 @@ def _tpu_reachable() -> bool:
         return False
 
 
-def _run_on_tpu(code: str) -> None:
+def _run_on_tpu(code: str, env: dict | None = None) -> None:
+    import os
+
     if not _tpu_reachable():
         pytest.skip("TPU backend unreachable")
     r = subprocess.run(
@@ -52,6 +54,7 @@ def _run_on_tpu(code: str) -> None:
         timeout=_RUN_TIMEOUT,
         capture_output=True,
         text=True,
+        env={**os.environ, **(env or {})},
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-4000:]}"
 
@@ -90,7 +93,7 @@ rng = np.random.default_rng(7)
 cw = jnp.asarray(rng.integers(0, 998244353, size=n, dtype=np.uint32))
 alpha = 123456789123456789
 got = np.asarray(fri.fold_codeword(cw, alpha, 0))
-assert PK.pallas_enabled(), "expected the Pallas fold on TPU"
+assert PK.pallas_enabled(), "expected the Pallas fold on TPU"  # env-gated
 P = 998244353
 a_red = alpha % P
 want = np.asarray(_fold_kernel(
@@ -101,14 +104,16 @@ want = np.asarray(_fold_kernel(
 ))
 assert np.array_equal(got, want)
 print("pallas fold OK")
-"""
+""",
+        env={"STARK_TPU_PALLAS": "1"},  # the Pallas fold is env-gated
     )
 
 
-def test_chained_prove_bytes_on_device_match_cpu():
+def test_chained_prove_bytes_on_device_match_cpu(tmp_path):
     """The single-fetch chained prove on the REAL chip must emit the same
     bytes as the CPU prover in this (CPU-forced) process — cross-backend
-    transcript determinism, the strongest on-device protocol check."""
+    transcript determinism, the strongest on-device protocol check.
+    The expected proof travels via a file (too big for argv)."""
     from stark_tpu import StarkConfig, StarkProver, StarkVerifier
     from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
 
@@ -117,15 +122,16 @@ def test_chained_prove_bytes_on_device_match_cpu():
     cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=8)
     cpu_proof = StarkProver(air, cfg).prove(fibonacci_trace_mod_p(T))
     assert StarkVerifier(air, cfg).verify(cpu_proof)
+    expected_file = tmp_path / "expected_proof.bin"
+    expected_file.write_bytes(cpu_proof)
     _run_on_tpu(
         f"""
 from stark_tpu import StarkConfig, StarkProver
 from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
-import sys
 T = {T}
 cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=8)
 proof = StarkProver(FibonacciAir(), cfg).prove(fibonacci_trace_mod_p(T))
-expected = bytes.fromhex({cpu_proof.hex()!r})
+expected = open({str(expected_file)!r}, "rb").read()
 assert proof == expected, "TPU proof bytes != CPU proof bytes"
 print("chained prove bytes OK")
 """
