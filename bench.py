@@ -43,9 +43,14 @@ PRIME = 998244353
 HOST_NTT_BASELINE_MS = 2048.2
 
 
-def _chain_time(step, x0, k1=2, k2=12, reps=3):
+def _chain_time(step, x0, k1=2, k2=12, reps=3, floor_s=2e-5):
     """Marginal seconds per application of ``step`` (array -> same-shape
-    array), forcing execution with a 1-element fetch."""
+    array), forcing execution with a 1-element fetch.
+
+    ``floor_s``: physically impossible readings below this (differencing
+    swamped by host-load noise) are retried up to twice; the last attempt
+    is returned regardless so a pathological box still produces a number
+    (flagged by being below the floor)."""
 
     def run(k):
         y = x0
@@ -62,7 +67,11 @@ def _chain_time(step, x0, k1=2, k2=12, reps=3):
         return t
 
     run(2)  # compile + warm
-    return max(best_of(k2) - best_of(k1), 1e-9) / (k2 - k1)
+    for _ in range(3):
+        dt = max(best_of(k2) - best_of(k1), 1e-9) / (k2 - k1)
+        if dt >= floor_s:
+            break
+    return dt
 
 
 def _host_numpy_ntt(x: np.ndarray) -> float:
@@ -116,7 +125,7 @@ def main() -> None:
     x = rng.integers(0, PRIME, size=N_NTT, dtype=np.uint32)
     xd = jnp.asarray(x)
 
-    t_ntt = _chain_time(NTT.ntt, xd, k2=6 if quick else 12)
+    t_ntt = _chain_time(NTT.ntt, xd, k2=6 if quick else 12, floor_s=1e-4)
     extras = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
@@ -130,14 +139,9 @@ def main() -> None:
     # extras record both timings.
     from stark_tpu.ops.ntt_fused import fused_available, fused_ntt
 
-    # Physically impossible marginal times (below the 16 MB HBM-roofline
-    # floor) mean the differencing was swamped by host-load noise — retry
-    # once, then refuse to score the reading.
+    # 16 MB HBM-roofline floor for a 2^22 NTT: readings below it are
+    # host-load noise and must not be scored.
     _NTT_FLOOR_S = 1e-4
-
-    if t_ntt < _NTT_FLOOR_S:
-        t_ntt = _chain_time(NTT.ntt, xd, k2=6 if quick else 12)
-        extras["ntt_ms"] = round(t_ntt * 1e3, 3)
 
     if fused_available(N_NTT, xd.shape):
         lazy_step = lambda v: fused_ntt(v, lazy=True)  # noqa: E731
@@ -145,9 +149,9 @@ def main() -> None:
             jnp.array_equal(NTT.ntt(xd), lazy_step(xd)).block_until_ready()
         )
         if same:
-            t_lazy = _chain_time(lazy_step, xd, k2=6 if quick else 12)
-            if t_lazy < _NTT_FLOOR_S:
-                t_lazy = _chain_time(lazy_step, xd, k2=6 if quick else 12)
+            t_lazy = _chain_time(
+                lazy_step, xd, k2=6 if quick else 12, floor_s=_NTT_FLOOR_S
+            )
             extras["ntt_lazy_ms"] = round(t_lazy * 1e3, 3)
             if _NTT_FLOOR_S <= t_lazy < t_ntt:
                 t_ntt = t_lazy

@@ -478,45 +478,35 @@ class BatchStarkProver:
             [round_dev, trace_vals_dev, trace_sib_dev]
         )
 
-        # Emit per proof, in exactly the single-prover order.
+        # Emit per proof, in exactly the single-prover order — raw wire
+        # segments from the fetched arrays (stream.raw_*; byte-identical,
+        # no per-level Hash objects).
+        from stark_tpu.stream import raw_field_elements, raw_merkle_path
+
         for i, (meta, f) in enumerate(zip(round_meta, fetched_rounds)):
             cur_vals, nxt_vals, cur_sib, nxt_sib = f
-            half = int(codewords[i].shape[1]) // 2
             for b in range(B):
-                for s in range(k):
-                    streams[b].push(
-                        FieldElements(
-                            (
-                                int(cur_vals[b][s]),
-                                int(cur_vals[b][k + s]),
-                                int(nxt_vals[b][s]),
-                            )
-                        )
+                seg = [
+                    raw_field_elements(
+                        [cur_vals[b][s], cur_vals[b][k + s], nxt_vals[b][s]]
                     )
-                cur_paths = _paths(cur_sib, b)
-                nxt_paths = _paths(nxt_sib, b)
+                    for s in range(k)
+                ]
+                cs, ns = cur_sib[:, b], nxt_sib[:, b]
                 for s in range(k):
-                    streams[b].push(MerklePath(tuple(cur_paths[s])))
-                    streams[b].push(MerklePath(tuple(cur_paths[k + s])))
-                    streams[b].push(MerklePath(tuple(nxt_paths[s])))
+                    seg.append(raw_merkle_path(cs, s))
+                    seg.append(raw_merkle_path(cs, k + s))
+                    seg.append(raw_merkle_path(ns, s))
+                streams[b].push_raw(b"".join(seg))
 
         for b in range(B):
-            paths = _paths(trace_sib, b)
+            ts = trace_sib[:, b]
+            seg = []
             for t in range(len(trace_cols_idx[b])):
-                streams[b].push(
-                    FieldElements(
-                        tuple(int(v) for v in trace_vals[b][:, t])
-                    )
-                )
-                streams[b].push(MerklePath(tuple(paths[t])))
+                seg.append(raw_field_elements(trace_vals[b][:, t]))
+                seg.append(raw_merkle_path(ts, t))
+            streams[b].push_raw(b"".join(seg))
 
         return [s.serialize() for s in streams]
 
 
-def _paths(sib, b) -> list[list[Hash]]:
-    """(L, B, k, 32) fetched sibling digests -> proof b's per-query paths."""
-    arr = np.asarray(sib).astype(np.uint8)
-    L, _, kk, _ = arr.shape
-    return [
-        [Hash(arr[lvl, b, q].tobytes()) for lvl in range(L)] for q in range(kk)
-    ]

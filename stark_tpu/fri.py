@@ -915,28 +915,23 @@ class Fri:
 
             # Emit queries (fri.rs:280-307 order).  All trees on this path
             # are full-device, so the fetched sibling bytes ARE the whole
-            # paths (no host-top completion step).
-            idx_cur = list(top_level_indices)
+            # paths; raw wire segments skip per-level Hash construction
+            # (stream.raw_* — byte-identical output, ~10x less host work).
+            from stark_tpu.stream import raw_field_elements, raw_merkle_path
+
             for i, f in enumerate(query_host):
-                half = all_lengths[i] // 2
-                idx_cur = [ix % half for ix in idx_cur]
                 cur_vals, nxt_vals, cur_sib, nxt_sib = f
-                cur_paths = MerkleTree.paths_from_dev(cur_sib)
-                nxt_paths = MerkleTree.paths_from_dev(nxt_sib)
-                for s in range(k):
-                    proof_stream.push(
-                        FieldElements(
-                            (
-                                int(cur_vals[s]),
-                                int(cur_vals[k + s]),
-                                int(nxt_vals[s]),
-                            )
-                        )
+                seg = [
+                    raw_field_elements(
+                        [cur_vals[s], cur_vals[k + s], nxt_vals[s]]
                     )
+                    for s in range(k)
+                ]
                 for s in range(k):
-                    proof_stream.push(MerklePath(tuple(cur_paths[s])))
-                    proof_stream.push(MerklePath(tuple(cur_paths[k + s])))
-                    proof_stream.push(MerklePath(tuple(nxt_paths[s])))
+                    seg.append(raw_merkle_path(cur_sib, s))
+                    seg.append(raw_merkle_path(cur_sib, k + s))
+                    seg.append(raw_merkle_path(nxt_sib, s))
+                proof_stream.push_raw(b"".join(seg))
             if extra_emit is not None:
                 extra_emit(meta2, fetched2)
 

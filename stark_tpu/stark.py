@@ -454,13 +454,22 @@ class StarkProver:
 
         def _open_emit(cols_idx, fetched):
             vals, sib = fetched
-            paths = (
-                trace_tree.finish_paths(
-                    MerkleTree.paths_from_dev(sib), cols_idx
+            if sib is not None:
+                # Full-device tree: the fetched sibling bytes are whole
+                # paths — emit raw wire segments (byte-identical, no
+                # per-level Hash objects).
+                from stark_tpu.stream import (
+                    raw_field_elements,
+                    raw_merkle_path,
                 )
-                if sib is not None
-                else trace_tree.open_batch(cols_idx)
-            )
+
+                seg = []
+                for t in range(len(cols_idx)):
+                    seg.append(raw_field_elements(vals[:, t]))
+                    seg.append(raw_merkle_path(sib, t))
+                stream.push_raw(b"".join(seg))
+                return
+            paths = trace_tree.open_batch(cols_idx)
             for t in range(len(cols_idx)):
                 stream.push(FieldElements(tuple(int(v) for v in vals[:, t])))
                 stream.push(MerklePath(tuple(paths[t])))

@@ -47,12 +47,52 @@ class ProofObject:
     MerklePath = MerklePath
 
 
+def raw_field_elements(values) -> bytes:
+    """Wire bytes of ONE FieldElements object (tag 2) from a 1-D array or
+    sequence of ints (stream.rs:45-52 layout)."""
+    import numpy as np
+
+    arr = np.asarray(values, dtype=np.uint64)
+    return (
+        b"\x02"
+        + int(arr.shape[0]).to_bytes(8, "little")
+        + arr.astype("<u8").tobytes()
+    )
+
+
+def raw_merkle_path(sib, q: int) -> bytes:
+    """Wire bytes of ONE MerklePath object (tag 3) for query ``q`` from a
+    fetched (L, k, 32) u8 sibling-digest array (stream.rs:53-63 layout)."""
+    import numpy as np
+
+    L = sib.shape[0]
+    return (
+        b"\x03"
+        + int(L).to_bytes(8, "little")
+        + np.ascontiguousarray(sib[:, q, :]).tobytes()
+    )
+
+
+class _Raw(bytes):
+    """Pre-serialized wire segment (one or more whole objects) pushed by
+    the prover's bulk emit paths — building one bytes object per
+    authentication path instead of one Hash per tree level is ~10x less
+    host work at emit time.  Serialization output is byte-identical;
+    prover-side streams are never popped, so the object view is unused."""
+
+
 class ProofStream:
     def __init__(self, objects=None):
         self.objects = deque(objects or [])
 
     def push(self, obj) -> None:
         self.objects.append(obj)
+
+    def push_raw(self, data: bytes) -> None:
+        """Append an already-serialized segment (must be whole objects in
+        wire format — the caller is trusted; tests pin byte-equality with
+        the object path)."""
+        self.objects.append(_Raw(data))
 
     def pop(self):
         return self.objects.popleft() if self.objects else None
@@ -63,7 +103,9 @@ class ProofStream:
     def serialize(self) -> bytes:
         out = bytearray()
         for obj in self.objects:
-            if isinstance(obj, MerkleRoot):
+            if isinstance(obj, _Raw):
+                out.extend(obj)
+            elif isinstance(obj, MerkleRoot):
                 out.append(0)
                 out.extend(obj.hash.data)
             elif isinstance(obj, FieldElementObj):
