@@ -219,6 +219,279 @@ def _forest_gather_fn(B: int, n: int, k: int):
     return jax.jit(fn)
 
 
+# ---------------------------------------------------------------------------
+# Single-fetch batched prove (the batch analogue of fri._mega_prove_fn).
+# ---------------------------------------------------------------------------
+
+def _forest_light_build(leaf, B: int, n: int):
+    """Traceable LIGHT forest build from leaf digest rows (B*n lanes,
+    row-major per proof): wide levels via the unrolled bandwidth-optimal
+    combine, the rest via the fixed-width tail loop; nothing but
+    (pre_levels, stack, roots) survives — no per-level slice outputs.
+
+    Returns (pre_levels [row-tuples, tree level j], stack (L,32,Rh,128),
+    roots (B, 32))."""
+    pre = [leaf]
+    w = n
+    while B * w > HB.FUSE_MAX_WIDTH:
+        rows = pre[-1]
+        R = rows[0].shape[0]
+        left = tuple(r[:, 0::2].reshape(R // 2, LANE) for r in rows)
+        right = tuple(r[:, 1::2].reshape(R // 2, LANE) for r in rows)
+        pre.append(HB.combine_rows_core(left, right, rolled=False))
+        w //= 2
+    L = w.bit_length() - 1  # remaining per-proof halvings down to roots
+    stack = HB._tail_loop(pre[-1], L)
+    flat = stack[L - 1].reshape(32, -1)
+    roots = flat[:, :B].T  # (B, 32): per-proof width 1, row-major
+    return pre, stack, roots
+
+
+def _forest_path_gather(pre_levels, stack, idx, B: int, n: int):
+    """Traceable per-proof sibling-path gather over a light forest.
+
+    ``idx``: (B, k) i32 leaf indices.  Tree level l sibling of proof b =
+    global flat node b*(n>>l) + ((idx>>l)^1) — per-proof blocks stay
+    contiguous through every halving.  Returns (log2(n), B, k, 32) u8.
+    """
+    n_pre = len(pre_levels)
+    lg = n.bit_length() - 1
+    bidx = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)  # (B, k)
+    parts = []
+    for lvl in range(n_pre):
+        w = n >> lvl
+        sib = (idx >> lvl) ^ 1
+        g = bidx * w + sib
+        rows, cols = g // LANE, g % LANE
+        parts.append(
+            jnp.stack([r[rows, cols] for r in pre_levels[lvl]], axis=-1)[
+                None
+            ]
+        )
+    Lrem = lg - n_pre
+    if Lrem > 0:
+        lv = jnp.arange(Lrem, dtype=jnp.int32)[:, None, None]
+        sib = (idx[None] >> (lv + n_pre)) ^ 1              # (Lrem, B, k)
+        w = jnp.asarray(
+            [n >> (n_pre + i) for i in range(Lrem)], jnp.int32
+        )[:, None, None]
+        g = bidx[None] * w + sib
+        rows, cols = g // LANE, g % LANE
+        B3 = jnp.arange(32, dtype=jnp.int32)[None, None, None, :]
+        # Stack level i holds tree level n_pre + i.
+        parts.append(
+            stack[lv[..., None], B3, rows[..., None], cols[..., None]]
+        )
+    return jnp.concatenate(parts, axis=0)
+
+
+#: Manual cache (lru can't key the air-capturing compose closure; the
+#: caller passes a stable key pinning air type + config).
+_BATCH_MEGA_CACHE: dict = {}
+
+
+def _batch_mega_fn(key, compose_vm):
+    """ONE jit from the trace LDE to the packed fetch buffer, for B
+    proofs: trace forest commit, per-proof device constraint challenges,
+    composition, every FRI commit round (forest + root + challenge +
+    fold), per-proof index sampling, all query + trace-opening gathers,
+    and the byte packing — the batched analogue of fri._mega_prove_fn
+    (same rationale: tree buffers stay internal; ONE output buffer; ONE
+    host fetch for the whole batch)."""
+    from stark_tpu.fri import _SAMPLE_SLACK
+    from stark_tpu.fri import _pack_u8_core
+
+    got = _BATCH_MEGA_CACHE.get(key)
+    if got is not None:
+        return got
+
+    (
+        _air_cfg_tag,
+        B,
+        c,
+        N,
+        n_terms,
+        rounds,
+        number,
+        size,
+        reduced_size,
+        M,
+        blowup,
+        offsets,
+    ) = key
+
+    def fn(
+        trace_lde,       # (B, c, N) uint32
+        inv_x_list,      # per-round (half,) ladders
+        consts,          # compose domain constants
+        idx_override,    # (B, number) u32
+        use_override,    # () bool
+        inv2_w,
+        inv2_ws,
+    ):
+        # -- trace forest + per-proof roots ------------------------------
+        lanes = trace_lde.transpose(1, 0, 2).reshape(c, B * N // LANE, LANE)
+        tleaf = HB.row_hash_rows_core(
+            lanes, rolled=B * N <= HB.FUSE_MAX_WIDTH
+        )
+        tpre, tstack, troots = _forest_light_build(tleaf, B, N)
+
+        # -- constraint challenges (per-proof transcript chains) ---------
+        transcripts = troots  # (B, 32)
+        digs, chals = [], []
+        for _ in range(2 * n_terms):
+            st = HB.transcript_state_core(transcripts, rolled=True)
+            digest8 = jnp.stack([st[j] for j in range(8)], axis=1)  # (B,8)
+            digs.append(digest8)
+            chals.append(HB.state_alpha(st))                        # (B,)
+            transcripts = jnp.concatenate([transcripts, digest8], axis=1)
+        digs = jnp.stack(digs, axis=1)          # (B, 2*n_terms, 8)
+        ch = jnp.stack(chals, axis=1)           # (B, 2*n_terms)
+        alphas_c, betas_c = ch[:, 0::2], ch[:, 1::2]
+
+        # -- composition codewords ---------------------------------------
+        codeword = compose_vm(trace_lde, alphas_c, betas_c, *consts)
+
+        # -- FRI commit rounds (light forests) ---------------------------
+        forests, cws, roots, alphas = [], [], [], []
+        w = N
+        for r in range(rounds):
+            leaf = HB.leaf_hash_rows_core(
+                codeword.reshape(B * w // LANE, LANE),
+                rolled=B * w <= HB.FUSE_MAX_WIDTH,
+            )
+            pre, stack, rts = _forest_light_build(leaf, B, w)
+            forests.append((pre, stack, w))
+            roots.append(rts)
+            transcripts = jnp.concatenate([transcripts, rts], axis=1)
+            cws.append(codeword)
+            if r == rounds - 1:
+                break
+            alpha = HB.transcript_alpha_core(transcripts, rolled=True)
+            alphas.append(alpha)
+            half = w // 2
+            a, b_ = codeword[:, :half], codeword[:, half:]
+            s = F.addmod(a, b_)
+            d = F.submod(a, b_)
+            t = F.mont_mul(inv_x_list[r], alpha[:, None])
+            codeword = F.shoup_mul(
+                F.addmod(s, F.mulmod(t, d)), inv2_w, inv2_ws
+            )
+            w = half
+
+        # -- per-proof index sampling ------------------------------------
+        st = HB.transcript_state_core(transcripts, rolled=True)
+        seed = HB._init_stacked((B,))
+        seed = HB._absorb_stacked(seed, jnp.stack(st[:8], axis=0))
+        seed = HB._mix_stacked_loop(seed, 1 + 8)  # (32, B)
+        indices, count = _sample_indices_batched(
+            seed, B, M, size, reduced_size, number
+        )
+        top_idx = jnp.where(use_override, idx_override, indices)
+
+        # -- query gathers -----------------------------------------------
+        idx = top_idx.astype(jnp.int32)
+        qouts = []
+        for i in range(rounds - 1):
+            pre_i, stack_i, w_i = forests[i]
+            pre_n, stack_n, w_n = forests[i + 1]
+            half = w_i // 2
+            idx = idx & (half - 1)
+            ab = jnp.concatenate([idx, idx + half], axis=1)  # (B, 2k)
+            qouts.append(
+                (
+                    jnp.take_along_axis(cws[i], ab, axis=1),
+                    jnp.take_along_axis(cws[i + 1], idx, axis=1),
+                    _forest_path_gather(pre_i, stack_i, ab, B, w_i),
+                    _forest_path_gather(pre_n, stack_n, idx, B, w_n),
+                )
+            )
+
+        # -- trace openings ----------------------------------------------
+        half0 = N // 2
+        a0 = top_idx.astype(jnp.int32) & (half0 - 1)
+        qp = jnp.stack([a0, a0 + half0], axis=2).reshape(B, -1)  # (B, 2k)
+        offs = jnp.asarray([k_ * blowup for k_ in offsets], jnp.int32)
+        cols_idx = (qp[:, :, None] + offs[None, None, :]).reshape(B, -1) & (
+            N - 1
+        )
+        tvals = jnp.take_along_axis(trace_lde, cols_idx[:, None, :], axis=2)
+        tsib = _forest_path_gather(tpre, tstack, cols_idx, B, N)
+
+        return _pack_u8_core(
+            [
+                troots,
+                digs,
+                roots,
+                alphas,
+                cws[-1],
+                indices,
+                count,
+                qouts,
+                tvals,
+                tsib,
+            ]
+        )
+
+    fn = jax.jit(fn)
+    _BATCH_MEGA_CACHE[key] = fn
+    return fn
+
+
+def _sample_indices_batched(seed_stacked, B, M, size, reduced_size, number):
+    """Per-proof device replica of Fri::sample_indices (fri.rs:176-213),
+    B proofs x M candidates in one vectorized pass + one dedup scan.
+    ``seed_stacked``: (32, B) u8 seed digests.  Returns ((B, number) u32,
+    (B,) i32 accept counts)."""
+    assert size & (size - 1) == 0 and reduced_size & (reduced_size - 1) == 0
+    cvec = jnp.arange(M, dtype=jnp.uint32)
+    st = HB._init_stacked((B, M))
+    st = HB._absorb_stacked(
+        st, jnp.broadcast_to(seed_stacked[:, :, None], (32, B, M))
+    )
+    st = HB._mix_stacked(st)
+    ctr = jnp.stack(
+        [
+            jnp.broadcast_to((cvec >> sh) & jnp.uint32(0xFF), (B, M)).astype(
+                jnp.uint8
+            )
+            for sh in (0, 8, 16, 24)
+        ],
+        axis=0,
+    )
+    st = HB._absorb_stacked(st, ctr)
+    st = HB._mix_stacked_loop(st, 1 + 8)
+    low32 = (
+        (st[28].astype(jnp.uint32) << 24)
+        | (st[29].astype(jnp.uint32) << 16)
+        | (st[30].astype(jnp.uint32) << 8)
+        | st[31].astype(jnp.uint32)
+    )                                            # (B, M)
+    idx = low32 & jnp.uint32(size - 1)
+    red = (low32 & jnp.uint32(reduced_size - 1)).astype(jnp.int32)
+    brange = jnp.arange(B)
+
+    def body(carry, x):
+        seen, cnt = carry                        # (B, reduced), (B,)
+        i_c, r_c = x                             # (B,), (B,)
+        ok = jnp.logical_and(~seen[brange, r_c], cnt < number)
+        seen = seen.at[brange, r_c].set(True)
+        pos = jnp.where(ok, cnt, number)
+        return (seen, cnt + ok.astype(jnp.int32)), (pos, i_c)
+
+    (_, count), (pos, ivals) = jax.lax.scan(
+        body,
+        (jnp.zeros((B, reduced_size), jnp.bool_), jnp.zeros((B,), jnp.int32)),
+        (idx.T, red.T),
+    )
+    out = (
+        jnp.zeros((B, number), jnp.uint32)
+        .at[jnp.broadcast_to(brange[None, :], (M, B)), pos]
+        .set(ivals, mode="drop")
+    )
+    return out, count
+
+
 @functools.lru_cache(maxsize=None)
 def _batch_round_fn(B: int, W: int, L: int):
     """ONE dispatch for a whole batched commit round: forest (leaf hash +
@@ -300,6 +573,212 @@ class BatchStarkProver:
         )
 
     def prove_batch(self, traces: list[list[list[int]]]) -> list[bytes]:
+        """Single-fetch mega path when the shapes admit it (single host
+        fetch for the whole batch); classic 3-fetch path otherwise
+        (mesh-sharded runs, sub-lane-tile domains, hostile configs)."""
+        from stark_tpu.fri import _SAMPLE_MAX_REDUCED
+
+        d = self._single.dom
+        rounds = self.fri.num_rounds()
+        reduced = d.N >> (rounds - 1) if rounds else d.N
+        if (
+            self.mesh is None
+            and rounds >= 2
+            and d.N >= 2 * LANE
+            # every round's GLOBAL forest width must fill >= 2 lane tiles
+            # (the fixed-width tail loop halves sublane rows)
+            and self.B * reduced >= 2 * LANE
+            and reduced <= _SAMPLE_MAX_REDUCED
+            and self.cfg.num_colinearity_tests <= reduced
+        ):
+            return self._prove_batch_mega(traces)
+        return self._prove_batch_classic(traces)
+
+    def _prove_batch_mega(self, traces) -> list[bytes]:
+        """B proofs with ONE device fetch: everything from the trace LDE
+        to the packed buffer runs inside _batch_mega_fn; the host replays
+        each proof's transcript/challenges/sampling byte-exactly and emits
+        raw wire segments (same replay-integrity and idx_override
+        fallback contracts as fri._prove_chained)."""
+        from stark_tpu.fri import (
+            _SAMPLE_SLACK,
+            _unpack_u8,
+        )
+
+        B, cfg, d = self.B, self.cfg, self._single.dom
+        assert len(traces) == B
+        field = FiniteField()
+        fri = self.fri
+        rounds = fri.num_rounds()
+        k = cfg.num_colinearity_tests
+        n_terms = d.num_transition + len(d.boundary)
+        c = self.air.num_registers
+        size = d.N >> 1
+        reduced = d.N >> (rounds - 1)
+        M = 2 * k + _SAMPLE_SLACK
+
+        # 1. LDE (batched; the only dispatches outside the mega jit).
+        cols = np.stack([trace_cols_u32(t) for t in traces])
+        coeffs = NTT.intt(cols)
+        trace_lde = NTT.lde(coeffs, cfg.blowup, d.offset)   # (B, c, N)
+
+        key = (
+            (type(self.air).__qualname__, cfg),
+            B,
+            c,
+            d.N,
+            n_terms,
+            rounds,
+            k,
+            size,
+            reduced,
+            M,
+            cfg.blowup,
+            tuple(self.air.frame_offsets),
+        )
+        compose_vm = jax.vmap(
+            self._single._compose_impl,
+            in_axes=(0, 0, 0, None, None, None, None, None),
+        )
+        mega = _batch_mega_fn(key, compose_vm)
+        inv_x = [fri._plan.inv_x_mont(i) for i in range(rounds - 1)]
+        consts = self._single._domain_consts()
+
+        def run(idx_override, use: bool):
+            return mega(
+                jnp.asarray(trace_lde),
+                inv_x,
+                consts,
+                idx_override,
+                jnp.bool_(use),
+                jnp.uint32(_INV2),
+                jnp.uint32(_INV2_SHOUP),
+            )
+
+        packed = run(jnp.zeros((B, k), jnp.uint32), False)
+
+        spec = _BATCH_MEGA_CACHE.get(("spec",) + key)
+        if spec is None:
+            SDS = jax.ShapeDtypeStruct
+            lgs = [
+                (d.N >> i).bit_length() - 1 for i in range(rounds)
+            ]  # path lengths per round
+            qspec = [
+                (
+                    SDS((B, 2 * k), jnp.uint32),
+                    SDS((B, k), jnp.uint32),
+                    SDS((lgs[i], B, 2 * k, 32), jnp.uint8),
+                    SDS((lgs[i + 1], B, k, 32), jnp.uint8),
+                )
+                for i in range(rounds - 1)
+            ]
+            K = 2 * k * len(self.air.frame_offsets)
+            spec = [
+                SDS((B, 32), jnp.uint8),
+                SDS((B, 2 * n_terms, 8), jnp.uint8),
+                [SDS((B, 32), jnp.uint8)] * rounds,
+                [SDS((B,), jnp.uint32)] * (rounds - 1),
+                SDS((B, reduced), jnp.uint32),
+                SDS((B, k), jnp.uint32),
+                SDS((B,), jnp.int32),
+                qspec,
+                SDS((B, c, K), jnp.uint32),
+                SDS((d.N.bit_length() - 1, B, K, 32), jnp.uint8),
+            ]
+            _BATCH_MEGA_CACHE[("spec",) + key] = spec
+
+        (
+            troots_h,
+            digs_h,
+            roots_h,
+            alphas_h,
+            last_h,
+            idx_h,
+            count_h,
+            q_h,
+            tvals_h,
+            tsib_h,
+        ) = _unpack_u8(jax.device_get(packed), spec)
+
+        # 2. Host replay: per-proof transcripts, challenges, sampling.
+        streams = [ProofStream() for _ in range(B)]
+        fss = [FiatShamir() for _ in range(B)]
+        for b in range(B):
+            root = Hash(troots_h[b].tobytes())
+            streams[b].push(MerkleRoot(root))
+            fss[b].absorb(root.data)
+            for i in range(2 * n_terms):
+                raw = fss[b].challenge(field).value
+                b8 = raw.to_bytes(8, "little")
+                if b8 != digs_h[b, i].tobytes():
+                    raise RuntimeError(
+                        "device/host transcript divergence (constraint "
+                        "challenges)"
+                    )
+                fss[b].absorb(b8)
+        for b in range(B):
+            for r in range(rounds):
+                root = Hash(roots_h[r][b].tobytes())
+                streams[b].push(MerkleRoot(root))
+                fss[b].absorb(root.data)
+                if r < rounds - 1:
+                    alpha = fss[b].challenge(field)
+                    if int(alphas_h[r][b]) != alpha.value % P:
+                        raise RuntimeError(
+                            "device/host transcript divergence"
+                        )
+            streams[b].push(
+                FieldElements(tuple(int(v) for v in last_h[b]))
+            )
+
+        per_proof_indices = []
+        dev_ok = True
+        for b in range(B):
+            seed = Hash.from_u64(fss[b].challenge(field).value).data
+            want = fri.sample_indices(seed, size, reduced, k)
+            per_proof_indices.append(want)
+            if int(count_h[b]) < k or [int(v) for v in idx_h[b]] != want:
+                dev_ok = False
+        if not dev_ok:
+            # Device candidate pool exhausted for some proof: re-run the
+            # SAME graph with the host's authoritative indices.
+            packed2 = run(
+                jnp.asarray(per_proof_indices, dtype=jnp.uint32), True
+            )
+            (_, _, _, _, _, _, _, q_h, tvals_h, tsib_h) = _unpack_u8(
+                jax.device_get(packed2), spec
+            )
+
+        # 3. Emit raw wire segments per proof (single-prover order).
+        from stark_tpu.stream import raw_field_elements, raw_merkle_path
+
+        for i in range(rounds - 1):
+            cur_vals, nxt_vals, cur_sib, nxt_sib = q_h[i]
+            for b in range(B):
+                seg = [
+                    raw_field_elements(
+                        [cur_vals[b][s], cur_vals[b][k + s], nxt_vals[b][s]]
+                    )
+                    for s in range(k)
+                ]
+                cs, ns = cur_sib[:, b], nxt_sib[:, b]
+                for s in range(k):
+                    seg.append(raw_merkle_path(cs, s))
+                    seg.append(raw_merkle_path(cs, k + s))
+                    seg.append(raw_merkle_path(ns, s))
+                streams[b].push_raw(b"".join(seg))
+        K = tvals_h.shape[2]
+        for b in range(B):
+            ts = tsib_h[:, b]
+            seg = []
+            for t in range(K):
+                seg.append(raw_field_elements(tvals_h[b][:, t]))
+                seg.append(raw_merkle_path(ts, t))
+            streams[b].push_raw(b"".join(seg))
+
+        return [s.serialize() for s in streams]
+
+    def _prove_batch_classic(self, traces: list[list[list[int]]]) -> list[bytes]:
         B, cfg, d = self.B, self.cfg, self._single.dom
         assert len(traces) == B
         field = FiniteField()

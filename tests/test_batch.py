@@ -48,6 +48,26 @@ def test_batch_matches_singles():
         assert verifier.verify(batch[b])
 
 
+def test_batch_mega_single_fetch_matches_singles():
+    """Shapes chosen to pass the single-fetch mega gate (B*reduced >=
+    2*128): the whole batch proves through _prove_batch_mega and must be
+    byte-identical to single-prover runs."""
+    from stark_tpu.batch import _BATCH_MEGA_CACHE
+
+    B, T = 4, 64
+    air = VariantFibAir()
+    cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=16)
+    traces = _traces(B, T)
+    before = len(_BATCH_MEGA_CACHE)
+    batch = BatchStarkProver(air, cfg, B).prove_batch(traces)
+    assert len(_BATCH_MEGA_CACHE) > before, "mega path not taken"
+    single = StarkProver(air, cfg)
+    verifier = StarkVerifier(air, cfg)
+    for b in range(B):
+        assert batch[b] == single.prove(traces[b]), f"proof {b} differs"
+        assert verifier.verify(batch[b])
+
+
 def test_tiny_batch_narrow_trees():
     """N = 64 < 128 lanes per proof: the forest must keep per-proof (B, w)
     layout (regression for the narrow-tree gather)."""
