@@ -184,7 +184,7 @@ class TestDeviceChainedCommit:
         from stark_tpu.stream import ProofStream
         from stark_tpu.transcript import FiatShamir
 
-        n = 1024  # 6 rounds; 4096 added ~40 s of one-off compiles
+        n = 512  # 5 rounds; larger n only adds one-off compile cost
         rng = np.random.default_rng(23)
         coeffs = np.zeros(n, dtype=np.uint32)
         coeffs[: n // 4] = rng.integers(0, P, size=n // 4, dtype=np.uint32)
