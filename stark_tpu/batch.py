@@ -552,7 +552,7 @@ class BatchStarkProver:
         self._compose_v = jax.jit(
             jax.vmap(
                 self._single._compose_impl,
-                in_axes=(0, 0, 0, None, None, None, None, None),
+                in_axes=(0, 0, 0) + (None,) * 6,
             )
         )
 
@@ -638,7 +638,7 @@ class BatchStarkProver:
         )
         compose_vm = jax.vmap(
             self._single._compose_impl,
-            in_axes=(0, 0, 0, None, None, None, None, None),
+            in_axes=(0, 0, 0) + (None,) * 6,
         )
         mega = _batch_mega_fn(key, compose_vm)
         inv_x = [fri._plan.inv_x_mont(i) for i in range(rounds - 1)]

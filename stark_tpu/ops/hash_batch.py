@@ -401,28 +401,48 @@ def _tail_levels_core(leaf_rows):
     return tuple(levels), root, out
 
 
+#: Tail-loop segment length: every SEG iterations the carry's padded row
+#: count compacts to its valid prefix (free leading-row slice), so the
+#: wasted full-padded-width combines cost ~SEG*W instead of log2(W)*W —
+#: measured 2.3 ms per 2^16-wide tree tail before segmenting (the
+#: dominant device cost of the wide commit rounds, profile_prove.py).
+_TAIL_SEG = 4
+
+
 def _tail_loop(leaf_rows, L: int):
-    """The fixed-width level loop: 32 x (R, 128) leaf rows (row-tuple) ->
+    """The level loop: 32 x (R, 128) leaf rows (row-tuple) ->
     (L, 32, R/2, 128) padded level stack (level i's valid prefix is
-    R*128 >> (i+1) nodes, row-major).  Carry and combine are STACKED."""
+    R*128 >> (i+1) nodes, row-major; bytes beyond a prefix are
+    unspecified).  Carry and combine are STACKED; the loop runs in
+    _TAIL_SEG-iteration segments with the carry compacted to its valid
+    prefix between segments."""
     R = int(leaf_rows[0].shape[0])
-    Rh = R // 2
+    out = jnp.zeros((L, 32, R // 2, LANE), jnp.uint8)
+    cur = jnp.stack(list(leaf_rows), axis=0)
+    done = 0
+    while done < L:
+        Rcur = int(cur.shape[1])
+        # Below 2 padded rows no further compaction is possible; run the
+        # remaining (sub-row-width) iterations in one segment.
+        steps = min(_TAIL_SEG, L - done) if Rcur > 2 else (L - done)
+        Rh = Rcur // 2
 
-    def body(i, carry):
-        cur, out = carry  # cur: (32, R, 128)
-        left = cur[:, :, 0::2].reshape(32, Rh, LANE)
-        right = cur[:, :, 1::2].reshape(32, Rh, LANE)
-        par = _combine_stacked(left, right)  # (32, Rh, 128)
-        out = out.at[i].set(par)
-        # Refill the carry to full (R, 128); the bottom half is garbage
-        # beyond the (halved) valid prefix.
-        cur = jnp.concatenate([par, par], axis=1)
-        return cur, out
+        def body(i, carry, Rh=Rh):
+            cur, out = carry  # cur: (32, Rcur, 128)
+            left = cur[:, :, 0::2].reshape(32, Rh, LANE)
+            right = cur[:, :, 1::2].reshape(32, Rh, LANE)
+            par = _combine_stacked(left, right)  # (32, Rh, 128)
+            out = jax.lax.dynamic_update_slice(
+                out, par[None], (i, 0, 0, 0)
+            )
+            cur = jnp.concatenate([par, par], axis=1)
+            return cur, out
 
-    out0 = jnp.zeros((L, 32, Rh, LANE), jnp.uint8)
-    _, out = jax.lax.fori_loop(
-        0, L, body, (jnp.stack(list(leaf_rows), axis=0), out0)
-    )
+        cur, out = jax.lax.fori_loop(done, done + steps, body, (cur, out))
+        done += steps
+        rows_next = max(Rcur >> steps, 2)
+        if rows_next < Rcur:
+            cur = cur[:, :rows_next, :]
     return out
 
 

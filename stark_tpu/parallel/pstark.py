@@ -166,6 +166,10 @@ class DistributedStarkProver(StarkProver):
         sh = NamedSharding(mesh, P(AXIS))
         for name in ("x_dom", "zinv", "excl", "xshift_t", "xshift_b"):
             setattr(self, name, jax.device_put(getattr(self, name), sh))
+        if self.dinv.shape[0]:
+            self.dinv = jax.device_put(
+                self.dinv, NamedSharding(mesh, P(None, AXIS))
+            )
 
     def _lde_trace(self, cols):
         """(c, T) -> (c, N) via sharded iNTT + sharded LDE (when shardable)."""

@@ -284,6 +284,19 @@ class StarkProver:
             d.N,
             scale=pow(d.offset, d.boundary_shift, P),
         )
+        # Boundary-quotient denominators 1/(x - w^row) are TRACE-INDEPENDENT
+        # — precompute the inverses here instead of a batched Fermat ladder
+        # (~45 mulmods over (n_boundary, N)) inside every composition.
+        if d.boundary:
+            denoms = jnp.stack(
+                [
+                    F.submod(self.x_dom, jnp.uint32(pow(d.omega, bc.row, P)))
+                    for bc in d.boundary
+                ]
+            )
+            self.dinv = F.invmod(denoms)
+        else:
+            self.dinv = jnp.zeros((0, d.N), jnp.uint32)
         self._compose_jit = jax.jit(self._compose_impl)
 
     # -- overridable device-path hooks (the distributed prover re-targets
@@ -493,7 +506,16 @@ class StarkProver:
         return stream.serialize()
 
     def _compose_impl(
-        self, trace_lde, alphas, betas, x_dom, zinv, excl, xshift_t, xshift_b
+        self,
+        trace_lde,
+        alphas,
+        betas,
+        x_dom,
+        zinv,
+        excl,
+        xshift_t,
+        xshift_b,
+        dinv,
     ):
         """Composition codeword: pointwise over the coset, fully fuseable.
 
@@ -520,13 +542,6 @@ class StarkProver:
             total = F.addmod(total, F.mulmod(w, q))
             ci += 1
         if d.boundary:
-            denoms = jnp.stack(
-                [
-                    F.submod(x_dom, jnp.uint32(pow(d.omega, bc.row, P)))
-                    for bc in d.boundary
-                ]
-            )
-            dinv = F.invmod(denoms)
             for bi, bc in enumerate(d.boundary):
                 num = F.submod(frame[0][bc.register], jnp.uint32(bc.value % P))
                 q = F.mulmod(num, dinv[bi])
@@ -536,7 +551,14 @@ class StarkProver:
         return total
 
     def _domain_consts(self):
-        return (self.x_dom, self.zinv, self.excl, self.xshift_t, self.xshift_b)
+        return (
+            self.x_dom,
+            self.zinv,
+            self.excl,
+            self.xshift_t,
+            self.xshift_b,
+            self.dinv,
+        )
 
 
 class StarkVerifier:
