@@ -158,6 +158,60 @@ class TestSampling:
         with pytest.raises(AssertionError):
             fri.sample_indices(seed, 32, 4, 8)  # more than reduced_size
 
+    def test_device_sampler_matches_host(self):
+        """The device index sampler (hash_batch.sample_indices_core) must
+        reproduce Fri::sample_indices byte-exactly, including the dedup
+        walk (fri.rs:176-213)."""
+        import jax.numpy as jnp
+
+        from stark_tpu.hashfn import Hash as H
+        from stark_tpu.hashfn import hash_bytes
+        from stark_tpu.ops import hash_batch as HB
+
+        fri = Fri(primitive_nth_root(64), 7, 64, 4, 3, field=FIELD)
+        for trial in range(3):
+            t = bytes([trial * 7 + i % 256 for i in range(100)])
+            digest = hash_bytes(t)
+            seed = H.from_u64(int.from_bytes(digest[:8], "little")).data
+            size, reduced, number = 1 << 12, 32, 8
+            want = fri.sample_indices(seed, size, reduced, number)
+            sd = HB.seed_digest_rows_core(jnp.asarray(bytearray(t)))
+            got, cnt = HB.sample_indices_core(
+                sd, 2 * number + 32, size, reduced, number
+            )
+            assert int(cnt) >= number
+            assert [int(v) for v in np.asarray(got)] == want
+
+    def test_sampler_shortfall_fallback_is_byte_exact(self, monkeypatch):
+        """Force the device candidate pool below the requested count: the
+        chained prove must detect the shortfall, re-run the mega graph
+        with the host's indices, and emit IDENTICAL bytes."""
+        import jax.numpy as jnp
+
+        import stark_tpu.fri as fri_mod
+        from stark_tpu.ops import ntt as NTT
+        from stark_tpu.stream import ProofStream
+        from stark_tpu.transcript import FiatShamir
+
+        n = 256
+        rng = np.random.default_rng(5)
+        coeffs = np.zeros(n, dtype=np.uint32)
+        coeffs[: n // 4] = rng.integers(0, P, size=n // 4, dtype=np.uint32)
+        codeword = NTT.coset_eval(coeffs, 3)
+
+        def run():
+            fri = Fri(primitive_nth_root(n), 3, n, 4, 8, field=FIELD)
+            fs, stream = FiatShamir(), ProofStream()
+            fri.prove(jnp.asarray(codeword), fs, stream)
+            return stream.serialize()
+
+        good = run()
+        # M = 2*number + slack; slack = -15 -> M = 1 < number = 8:
+        # the sampler can never fill, so every prove takes the
+        # idx_override re-run.
+        monkeypatch.setattr(fri_mod, "_SAMPLE_SLACK", -15)
+        assert run() == good
+
 
 class TestColinearity:
     def test_scalar_colinearity(self):

@@ -52,6 +52,62 @@ class TestScalarHash:
         assert Hash.from_u64(v).data == hash_bytes(v.to_bytes(8, "little"))
 
 
+class TestStackedMix:
+    """The stacked-state mix (cumsum diffusion) must be bit-identical to
+    the row-list mix it replaces on the latency paths."""
+
+    def test_mix_stacked_matches_rows(self):
+        import jax.numpy as jnp
+
+        from stark_tpu.ops import hash_batch as HB
+
+        rng = np.random.default_rng(3)
+        for shape in ((5,), (3, 128)):
+            s = rng.integers(0, 256, size=(32,) + shape).astype(np.uint8)
+            rows = [jnp.asarray(s[i]) for i in range(32)]
+            want = np.stack(
+                [np.asarray(r) for r in HB._mix_rows(rows)], axis=0
+            )
+            got = np.asarray(HB._mix_stacked(jnp.asarray(s)))
+            assert np.array_equal(got, want), shape
+
+    def test_combine_stacked_matches_scalar(self):
+        import jax.numpy as jnp
+
+        from stark_tpu.ops import hash_batch as HB
+
+        rng = np.random.default_rng(4)
+        left = rng.integers(0, 256, size=(32, 4)).astype(np.uint8)
+        right = rng.integers(0, 256, size=(32, 4)).astype(np.uint8)
+        got = np.asarray(
+            HB._combine_stacked(jnp.asarray(left), jnp.asarray(right))
+        )
+        for j in range(4):
+            want = Hash.combine(
+                Hash(bytes(left[:, j])), Hash(bytes(right[:, j]))
+            ).data
+            assert bytes(got[:, j]) == want
+
+
+class TestPackedFetch:
+    def test_pack_unpack_roundtrip(self):
+        import jax
+        import jax.numpy as jnp
+
+        from stark_tpu.fri import _pack_u8, _unpack_u8
+
+        tree = [
+            jnp.arange(7, dtype=jnp.uint32),
+            (jnp.ones((2, 3), jnp.uint8), None, jnp.int32(-5)),
+            [jnp.asarray(9.0, jnp.float32)],
+        ]
+        out = _unpack_u8(jax.device_get(_pack_u8(tree)), tree)
+        flat_in, _ = jax.tree.flatten(tree)
+        flat_out, _ = jax.tree.flatten(out)
+        for a, b in zip(flat_in, flat_out):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestBatchedHash:
     """Device/numpy vectorized engines must be byte-identical to scalar."""
 
