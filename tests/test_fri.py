@@ -182,6 +182,37 @@ class TestSampling:
             assert int(cnt) >= number
             assert [int(v) for v in np.asarray(got)] == want
 
+    @pytest.mark.slow
+    def test_wide_prefix_chain_is_byte_exact(self, monkeypatch):
+        """Force the wide-prefix branch of the chained prove (per-round
+        dispatches above FUSE_MAX_WIDTH feeding the fused mega tail) at
+        CPU-suite shapes by shrinking the fuse cutover: bytes must equal
+        the all-fused default.  (On TPU this branch runs at N >= 2^17;
+        the CPU suite's domains are far below that.)  Slow: the shrunken
+        cutover compiles ~40 graphs unique to this test (~45 s warm)."""
+        import jax.numpy as jnp
+
+        from stark_tpu.ops import hash_batch as HB
+        from stark_tpu.ops import ntt as NTT
+        from stark_tpu.stream import ProofStream
+        from stark_tpu.transcript import FiatShamir
+
+        n = 2048
+        rng = np.random.default_rng(11)
+        coeffs = np.zeros(n, dtype=np.uint32)
+        coeffs[: n // 4] = rng.integers(0, P, size=n // 4, dtype=np.uint32)
+        codeword = NTT.coset_eval(coeffs, 3)
+
+        def run():
+            fri = Fri(primitive_nth_root(n), 3, n, 4, 8, field=FIELD)
+            fs, stream = FiatShamir(), ProofStream()
+            fri.prove(jnp.asarray(codeword), fs, stream)
+            return stream.serialize()
+
+        good = run()
+        monkeypatch.setattr(HB, "FUSE_MAX_WIDTH", 512)  # 2 wide rounds
+        assert run() == good
+
     def test_sampler_shortfall_fallback_is_byte_exact(self, monkeypatch):
         """Force the device candidate pool below the requested count: the
         chained prove must detect the shortfall, re-run the mega graph
