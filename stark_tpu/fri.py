@@ -1342,6 +1342,13 @@ class Fri:
                     reason("colinearity", "colinearity check failure")
                     return False
 
+            # Authentication paths: one native batch call per round per
+            # tree (replaces 3k scalar verifies, each with its own ctypes
+            # marshaling + per-leaf hash).  Falls back to scalar verifies
+            # without the native engine or on hostile unequal-length
+            # paths; reasons/labels match the scalar walk (first failure
+            # in pop order wins).
+            triples = []
             for i in range(self.num_colinearity_tests):
                 for label, idx, val, root in (
                     ("aa", a_indices[i], aa[i], roots[r]),
@@ -1350,20 +1357,83 @@ class Fri:
                 ):
                     obj = proof_stream.pop()
                     if not isinstance(obj, MerklePath):
+                        # Verify everything popped BEFORE the malformed
+                        # object first — the scalar walk would have
+                        # rejected an earlier bad path with its own
+                        # reason.
+                        bad_q = _verify_paths_batch(triples)
+                        if bad_q is not None:
+                            reason(
+                                "path_verify",
+                                "merkle authentication path verification "
+                                f"fails for {triples[bad_q][0]}",
+                            )
+                            return False
                         reason("missing_path", f"Failed to extract path for {label}")
                         return False
-                    leaf = Hash.from_field_elements([val])
-                    if not MerkleTree.verify(leaf, idx, list(obj.path), root):
-                        reason(
-                            "path_verify",
-                            "merkle authentication path verification fails "
-                            f"for {label}",
-                        )
-                        return False
+                    triples.append((label, idx, val, root, obj.path))
+            bad_q = _verify_paths_batch(triples)
+            if bad_q is not None:
+                reason(
+                    "path_verify",
+                    "merkle authentication path verification fails "
+                    f"for {triples[bad_q][0]}",
+                )
+                return False
 
             omega = (omega * omega) % P
             offset = (offset * offset) % P
         return True
+
+
+def _verify_paths_batch(triples):
+    """``triples``: [(label, idx, raw_val_or_row, root_hash, path_tuple)]
+    in pop order (raw u64 wire value, or a list of them for multi-value
+    leaves).  Returns the first failing position, or None when every path
+    verifies.  Paths of equal (length, leaf arity) go through ONE native
+    call per group (leaf digests computed in C from the raw u64 wire
+    values — hash.rs:32-35); the global first failure is the minimum over
+    groups' first failures, since group members keep their relative
+    order.  Scalar fallback without the native engine."""
+    if not triples:
+        return None
+    from stark_tpu import native
+
+    def _row(val):
+        return val if isinstance(val, (list, tuple)) else [val]
+
+    def _scalar(qs):
+        for q in qs:
+            _, idx, val, root, path = triples[q]
+            leaf = Hash.from_field_elements(_row(val))
+            if not MerkleTree.verify(leaf, idx, list(path), root):
+                return q
+        return None
+
+    if not native.AVAILABLE:
+        return _scalar(range(len(triples)))
+
+    groups: dict[tuple, list[int]] = {}
+    for q, (_, _, val, _, path) in enumerate(triples):
+        groups.setdefault((len(path), len(_row(val))), []).append(q)
+    fails = []
+    for (L, _c), qs in groups.items():
+        paths_flat = b"".join(h.data for q in qs for h in triples[q][4])
+        roots_flat = b"".join(triples[q][3].data for q in qs)
+        f = native.merkle_verify_batch(
+            [_row(triples[q][2]) for q in qs],
+            [triples[q][1] for q in qs],
+            paths_flat,
+            L,
+            roots_flat,
+        )
+        if f == -2:  # unsupported arity: scalar fallback for this group
+            f_scalar = _scalar(qs)
+            if f_scalar is not None:
+                fails.append(f_scalar)
+        elif f >= 0:
+            fails.append(qs[f])
+    return min(fails) if fails else None
 
 
 _U128_MASK = (1 << 128) - 1

@@ -77,6 +77,16 @@ def _load():
         u8p,
     ]
     lib.stark_hash_u64s.restype = None
+    lib.stark_merkle_verify_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint64),
+        u8p,
+        ctypes.c_uint64,
+        u8p,
+        ctypes.c_uint64,
+    ]
+    lib.stark_merkle_verify_batch.restype = ctypes.c_int64
     lib.stark_merkle_levels.argtypes = [u8p, ctypes.c_uint64, u8p]
     lib.stark_merkle_levels.restype = None
     _lib = lib
@@ -161,5 +171,33 @@ def merkle_verify(leaf: bytes, index: int, path: list[bytes], root: bytes) -> bo
     return bool(
         _lib.stark_merkle_verify(
             _u8(leaf), index, _u8(flat), len(path), _u8(root)
+        )
+    )
+
+
+def merkle_verify_batch(
+    leaf_rows, indices, paths_flat: bytes, path_len: int, roots_flat: bytes
+) -> int:
+    """k same-length paths verified in one call.  ``leaf_rows``: (k, c)
+    raw u64 wire values (leaf = Hash::from_field_elements(row));
+    ``paths_flat``: k*path_len*32 bytes; ``roots_flat``: k*32 bytes.
+    Returns -1 if all verify, -2 if the row arity is unsupported (caller
+    must fall back), else the first failing position."""
+    import numpy as np
+
+    vals = np.ascontiguousarray(leaf_rows, dtype=np.uint64)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    idxs = np.ascontiguousarray(indices, dtype=np.uint64)
+    k, c = vals.shape
+    return int(
+        _lib.stark_merkle_verify_batch(
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            c,
+            idxs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            _u8(paths_flat),
+            path_len,
+            _u8(roots_flat),
+            k,
         )
     )

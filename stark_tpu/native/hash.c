@@ -189,3 +189,31 @@ int stark_merkle_verify(const uint8_t leaf[32], uint64_t index,
   }
   return memcmp(cur, root, 32) == 0;
 }
+
+/* Batched path verification: k paths of equal length, each with its own
+ * leaf ROW of c raw u64 values (leaf digest = stark_hash of the 8*c LE
+ * bytes, matching Hash::from_field_elements — hash.rs:32-35), index and
+ * root.  Returns -1 when every path verifies, else the smallest failing
+ * path position (the caller maps it back to the reference's per-path
+ * failure reason).  One call replaces k ctypes round trips. */
+int64_t stark_merkle_verify_batch(const uint64_t *leaf_values, uint64_t c,
+                                  const uint64_t *indices,
+                                  const uint8_t *paths, uint64_t path_len,
+                                  const uint8_t *roots, uint64_t k) {
+  uint64_t q, j;
+  uint8_t le[8 * 64];
+  if (c == 0 || c > 64) return -2; /* caller falls back */
+  for (q = 0; q < k; q++) {
+    uint8_t leaf[32];
+    int b;
+    for (j = 0; j < c; j++) {
+      uint64_t v = leaf_values[q * c + j];
+      for (b = 0; b < 8; b++) le[8 * j + b] = (uint8_t)(v >> (8 * b));
+    }
+    stark_hash(le, 8 * c, leaf);
+    if (!stark_merkle_verify(leaf, indices[q], paths + q * path_len * 32,
+                             path_len, roots + q * 32))
+      return (int64_t)q;
+  }
+  return -1;
+}

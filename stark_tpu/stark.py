@@ -595,7 +595,13 @@ class StarkVerifier:
         if not self.fri.verify(stream, fs, polynomial_values):
             return False
 
-        # Spot-check composition consistency at every FRI query point.
+        # Trace openings: pop rows + paths in stream order, authenticate
+        # every path in one native batch call (fri._verify_paths_batch),
+        # then spot-check composition consistency at every query point.
+        from stark_tpu.fri import _verify_paths_batch
+
+        openings: list = []   # (idx, {k: values})
+        triples: list = []    # fri._verify_paths_batch operands
         for idx, comp_fe in polynomial_values:
             trace_rows: dict[int, list[int]] = {}
             for k in self.air.frame_offsets:
@@ -611,11 +617,15 @@ class StarkVerifier:
                 if len(values) != self.air.num_registers:
                     reason("bad_opening_arity", "bad trace opening arity")
                     return False
-                leaf = Hash.from_field_elements(values)
-                if not MerkleTree.verify(leaf, j, list(path_obj.path), trace_root):
-                    reason("trace_path_verify", "trace opening fails authentication")
-                    return False
+                triples.append(
+                    ("trace", j, values, trace_root, path_obj.path)
+                )
                 trace_rows[k] = values
+            openings.append((idx, comp_fe, trace_rows))
+        if _verify_paths_batch(triples) is not None:
+            reason("trace_path_verify", "trace opening fails authentication")
+            return False
+        for idx, comp_fe, trace_rows in openings:
             expected = d.composition_value_at(idx, trace_rows, alphas, betas)
             if comp_fe.value >= P or comp_fe.value != expected:
                 reason("composition_mismatch", "composition spot check failed")
