@@ -318,6 +318,7 @@ def _batch_mega_fn(key, compose_vm):
         M,
         blowup,
         offsets,
+        _fuse_max,  # pins the wide-pre-level structure traced below
     ) = key
 
     def fn(
@@ -635,6 +636,7 @@ class BatchStarkProver:
             M,
             cfg.blowup,
             tuple(self.air.frame_offsets),
+            HB.FUSE_MAX_WIDTH,  # pins the wide-pre-level structure
         )
         compose_vm = jax.vmap(
             self._single._compose_impl,

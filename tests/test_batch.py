@@ -70,6 +70,29 @@ def test_batch_mega_single_fetch_matches_singles():
         assert verifier.verify(batch[b])
 
 
+import pytest
+
+
+@pytest.mark.slow
+def test_batch_mega_wide_prelevels_match_singles(monkeypatch):
+    """Force the batch mega's wide pre-level branch (B*N above the fuse
+    cutover: unrolled forest levels feeding the tail loop, and the
+    pre-level slots of _forest_path_gather) at CPU-suite shapes by
+    shrinking FUSE_MAX_WIDTH.  On TPU this branch runs at B*N >= 2^17
+    (the bench's B=8/T=2^14 takes it); bytes must equal single runs."""
+    from stark_tpu.ops import hash_batch as HB
+
+    monkeypatch.setattr(HB, "FUSE_MAX_WIDTH", 256)
+    B, T = 4, 64  # B*N = 1024 > 256 -> 2 wide pre levels per forest
+    air = VariantFibAir()
+    cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=16)
+    traces = _traces(B, T)
+    batch = BatchStarkProver(air, cfg, B).prove_batch(traces)
+    single = StarkProver(air, cfg)
+    for b in range(B):
+        assert batch[b] == single.prove(traces[b]), f"proof {b} differs"
+
+
 def test_tiny_batch_narrow_trees():
     """N = 64 < 128 lanes per proof: the forest must keep per-proof (B, w)
     layout (regression for the narrow-tree gather)."""
