@@ -135,6 +135,15 @@ _SAMPLE_SLACK = 32
 #: configs); the classic host path handles them.
 _SAMPLE_MAX_REDUCED = 1 << 14
 
+#: Commit rounds at or below this width run INSIDE the mega jit (their
+#: trees stay internal buffers); wider rounds dispatch per-round.  Distinct
+#: from hash_batch.FUSE_MAX_WIDTH, which picks rolled-vs-unrolled hash
+#: kernels by bandwidth regime — a 2^17 round belongs in the mega (buffer
+#: materialization dominates) but wants the unrolled leaf chain.
+_CHAIN_MAX_WIDTH = 1 << 17  # A/B at N=2^22: 2^16 -> 0.165 s, 2^17 ->
+# 0.138 s, 2^18 -> 0.139 s (plateau) — one extra in-mega round wins, two
+# only add compile surface.
+
 
 #: Manual cache for the mega prove jit: lru_cache can't key on the
 #: caller-supplied traceable gather, so the caller provides a stable
@@ -210,7 +219,12 @@ def _mega_prove_fn(key, extra_key, extra_gather):
                 if W >= 2 * HB.LANE
                 else codeword[None, :]
             )
-            leaf = HB.leaf_hash_rows_core(v2d, rolled=True)
+            # Rolled mixes only in the latency regime; rounds between
+            # FUSE_MAX_WIDTH and _CHAIN_MAX_WIDTH are bandwidth-bound and
+            # keep the unrolled leaf chain.
+            leaf = HB.leaf_hash_rows_core(
+                v2d, rolled=W <= HB.FUSE_MAX_WIDTH
+            )
             _levels, root, stack = HB._tail_levels_core(leaf)
             tree_ops.append(((leaf,), stack))
             n_paths.append(W.bit_length() - 1)
@@ -731,7 +745,7 @@ class Fri:
             # Wide prefix: per-round dispatches (their unrolled hash chains
             # are the HBM-optimal regime; fusing them is the known compile
             # blowup), still zero host syncs.
-            while (int(codeword.shape[0]) > HB.FUSE_MAX_WIDTH
+            while (int(codeword.shape[0]) > _CHAIN_MAX_WIDTH
                    and r < rounds - 1):
                 tree = self.build_tree_full_device(codeword)
                 root_bytes = tree.root_bytes_dev()
