@@ -1243,7 +1243,7 @@ class Fri:
         if not isinstance(obj, FieldElements):
             reason("missing_last_codeword", "Failed to extract last codeword")
             return False
-        last_codeword = [fe.value for fe in obj.elements]
+        last_codeword = obj.values_u64()  # raw u64 wire values
 
         if not roots:
             reason("no_roots", "No FRI roots extracted")
@@ -1252,7 +1252,7 @@ class Fri:
         # merkle.rs:12-17): hostile streams may carry a last codeword whose
         # length is zero or not a power of two; MerkleTree would assert.
         # Must be an explicit check (not assert) so it survives `python -O`.
-        n_last = len(last_codeword)
+        n_last = int(last_codeword.shape[0])
         if n_last == 0 or n_last & (n_last - 1) != 0:
             reason(
                 "last_codeword_malformed",
@@ -1261,13 +1261,14 @@ class Fri:
             return False
         # Leaves hash the RAW u64 wire value (fri.rs:349-352); honest values
         # are reduced and take the batched device path.
-        if any(v >= P for v in last_codeword):
+        hostile_last = bool((last_codeword >= P).any())
+        if hostile_last:
             last_tree = MerkleTree(
-                [Hash.from_field_elements([v]) for v in last_codeword]
+                [Hash.from_field_elements([int(v)]) for v in last_codeword]
             )
         else:
             last_tree = MerkleTree.from_leaf_values(
-                np.array(last_codeword, dtype=np.uint32)
+                last_codeword.astype(np.uint32)
             )
         if roots[-1] != last_tree.root:
             reason("last_codeword_malformed", "last codeword is not well formed")
@@ -1286,7 +1287,7 @@ class Fri:
             last_omega = (last_omega * last_omega) % P
             last_offset = (last_offset * last_offset) % P
 
-        n_last = len(last_codeword)
+        n_last = int(last_codeword.shape[0])
         # check the domain is consistent (last_omega must have order n_last)
         if pow(last_omega, n_last, P) != 1 or (
             n_last > 1 and pow(last_omega, n_last // 2, P) == 1
@@ -1295,12 +1296,12 @@ class Fri:
             return False
         # Host numpy engine: the last codeword is tiny (<= ~4*expansion),
         # so a device dispatch — let alone a cold compile — would dominate.
-        vals = np.array([v % P for v in last_codeword], dtype=np.uint32)
+        vals = (last_codeword % P).astype(np.uint32)
         coeffs = NTT.host_coset_interp(vals, last_offset)
         re_eval = NTT.host_coset_eval(coeffs, last_offset)
         # The reference compares FieldElements by RAW value (ff.rs:50-58):
         # a wire value >= p can never equal the (canonical) re-evaluation.
-        if any(v >= P for v in last_codeword) or not np.array_equal(re_eval, vals):
+        if hostile_last or not np.array_equal(re_eval, vals):
             reason("reeval_mismatch", "re-evaluated codeword does not match original!")
             return False
         observed_degree = -1
@@ -1337,10 +1338,10 @@ class Fri:
                 if not isinstance(obj, FieldElements):
                     reason("missing_triple", "Failed to extract triple values")
                     return False
-                if len(obj.elements) != 3:
+                if len(obj) != 3:
                     reason("bad_triple_arity", "Expected triple of values")
                     return False
-                ay, by, cy = (fe.value for fe in obj.elements)
+                ay, by, cy = obj.values_ints()
                 aa.append(ay)
                 bb.append(by)
                 cc.append(cy)
@@ -1385,7 +1386,7 @@ class Fri:
                             return False
                         reason("missing_path", f"Failed to extract path for {label}")
                         return False
-                    triples.append((label, idx, val, root, obj.path))
+                    triples.append((label, idx, val, root, obj))
             bad_q = _verify_paths_batch(triples)
             if bad_q is not None:
                 reason(
@@ -1401,14 +1402,16 @@ class Fri:
 
 
 def _verify_paths_batch(triples):
-    """``triples``: [(label, idx, raw_val_or_row, root_hash, path_tuple)]
+    """``triples``: [(label, idx, raw_val_or_row, root_hash, path_obj)]
     in pop order (raw u64 wire value, or a list of them for multi-value
-    leaves).  Returns the first failing position, or None when every path
-    verifies.  Paths of equal (length, leaf arity) go through ONE native
-    call per group (leaf digests computed in C from the raw u64 wire
-    values — hash.rs:32-35); the global first failure is the minimum over
-    groups' first failures, since group members keep their relative
-    order.  Scalar fallback without the native engine."""
+    leaves; ``path_obj`` is a stream.MerklePath).  Returns the first
+    failing position, or None when every path verifies.  Paths of equal
+    (length, leaf arity) go through ONE native call per group (leaf
+    digests computed in C from the raw u64 wire values — hash.rs:32-35,
+    sibling digests taken straight off the wire via ``raw_bytes``); the
+    global first failure is the minimum over groups' first failures,
+    since group members keep their relative order.  Scalar fallback
+    without the native engine."""
     if not triples:
         return None
     from stark_tpu import native
@@ -1418,9 +1421,9 @@ def _verify_paths_batch(triples):
 
     def _scalar(qs):
         for q in qs:
-            _, idx, val, root, path = triples[q]
+            _, idx, val, root, path_obj = triples[q]
             leaf = Hash.from_field_elements(_row(val))
-            if not MerkleTree.verify(leaf, idx, list(path), root):
+            if not MerkleTree.verify(leaf, idx, list(path_obj.path), root):
                 return q
         return None
 
@@ -1428,11 +1431,11 @@ def _verify_paths_batch(triples):
         return _scalar(range(len(triples)))
 
     groups: dict[tuple, list[int]] = {}
-    for q, (_, _, val, _, path) in enumerate(triples):
-        groups.setdefault((len(path), len(_row(val))), []).append(q)
+    for q, (_, _, val, _, path_obj) in enumerate(triples):
+        groups.setdefault((len(path_obj), len(_row(val))), []).append(q)
     fails = []
     for (L, _c), qs in groups.items():
-        paths_flat = b"".join(h.data for q in qs for h in triples[q][4])
+        paths_flat = b"".join(triples[q][4].raw_bytes() for q in qs)
         roots_flat = b"".join(triples[q][3].data for q in qs)
         f = native.merkle_verify_batch(
             [_row(triples[q][2]) for q in qs],

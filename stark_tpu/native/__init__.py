@@ -21,17 +21,23 @@ _lib = None
 
 
 def _build() -> bool:
+    # -march=native lets the compiler use the full local vector width for
+    # the SoA lane-parallel loops in hash.c (AVX2: one 32-lane row per
+    # op); safe because the .so is always built on the machine that runs
+    # it (rebuilt whenever the source is newer).  Plain -O3 still
+    # auto-vectorizes at baseline SSE2 width if -march is rejected.
     for cc in ("cc", "gcc", "clang"):
-        try:
-            subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-            return True
-        except (OSError, subprocess.SubprocessError):
-            continue
+        for arch in (["-march=native"], []):
+            try:
+                subprocess.run(
+                    [cc, "-O3", *arch, "-shared", "-fPIC", "-o", _SO, _SRC],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                return True
+            except (OSError, subprocess.SubprocessError):
+                continue
     return False
 
 

@@ -143,29 +143,139 @@ int64_t stark_sample_indices(const uint8_t seed[32], uint64_t size,
   return (int64_t)counter;
 }
 
+/* ---- SoA lane-parallel hash engine ----------------------------------
+ *
+ * The byte hash run across SOA_K independent states at once: state is
+ * s[32][SOA_K] — byte-position-major, lane-minor — so every per-byte
+ * step of the scalar state machine (sbox, group XOR, the sequential
+ * in-place diffusion, absorb) becomes one SOA_K-wide inner loop with a
+ * constant trip count that the compiler auto-vectorizes (SSE2 = 4 ops
+ * per row, AVX2 = 2).  Same layout trick as the TPU engine across
+ * vector lanes (ops/hash_batch.py).  Bit-exactness: each lane's
+ * sequence of byte ops is IDENTICAL to stark_hash/mix_state above
+ * (hash.rs:7-99) — the loops below keep the exact in-place update
+ * order of the scalar code. */
+#define SOA_K 64
+
+static void soa_mix(uint8_t s[32][SOA_K]) {
+  uint8_t t[32][SOA_K];
+  int i, q;
+  /* sbox (hash.rs:88-94) */
+  for (i = 0; i < 32; i++)
+    for (q = 0; q < SOA_K; q++)
+      t[i][q] = (uint8_t)(rotl8((uint8_t)(s[i][q] * 251u), 1) ^ 0x63u);
+  /* 4-byte-group XOR mixing (hash.rs:63-75) */
+  for (i = 0; i < 8; i++)
+    for (q = 0; q < SOA_K; q++) {
+      uint8_t a = t[4 * i][q], b = t[4 * i + 1][q];
+      uint8_t c = t[4 * i + 2][q], d = t[4 * i + 3][q];
+      s[4 * i][q] = (uint8_t)(a ^ b ^ d);
+      s[4 * i + 1][q] = (uint8_t)(a ^ c ^ d);
+      s[4 * i + 2][q] = (uint8_t)(a ^ b ^ c);
+      s[4 * i + 3][q] = (uint8_t)(b ^ c ^ d);
+    }
+  /* sequential in-place neighbor diffusion (hash.rs:77-81): the i loop
+   * order + in-place updates replicate the scalar semantics per lane. */
+  for (i = 0; i < 32; i++)
+    for (q = 0; q < SOA_K; q++)
+      s[i][q] =
+          (uint8_t)(s[i][q] + s[(i + 1) & 31][q] + s[(i + 31) & 31][q]);
+  for (i = 0; i < 32; i++)
+    for (q = 0; q < SOA_K; q++) s[i][q] = (uint8_t)(s[i][q] + RC[i]);
+}
+
+/* Absorb one chunk of chunk_len (<= 32) bytes into every lane
+ * (hash.rs:14-23; same ascending-i in-place order as stark_hash). */
+static void soa_absorb(uint8_t s[32][SOA_K],
+                       const uint8_t chunk[32][SOA_K], int chunk_len) {
+  int i, q;
+  for (i = 0; i < chunk_len; i++)
+    for (q = 0; q < SOA_K; q++) {
+      uint8_t v = rotl8((uint8_t)(s[i][q] + chunk[i][q]), 3);
+      s[i][q] = v;
+      s[(i + 7) & 31][q] ^= v;
+    }
+}
+
+/* Hash K lane rows of len bytes each (rows ``stride`` apart) into SoA
+ * digests s[32][SOA_K]; lanes >= K compute garbage on zero input and are
+ * ignored by the caller. */
+static void soa_hash(const uint8_t *in, uint64_t stride, uint64_t len,
+                     int K, uint8_t s[32][SOA_K]) {
+  uint8_t chunk[32][SOA_K];
+  uint64_t start;
+  int i, q;
+  for (i = 0; i < 32; i++)
+    for (q = 0; q < SOA_K; q++) s[i][q] = PRIMES[i & 15];
+  for (start = 0; start < len; start += 32) {
+    int clen = (int)(len - start < 32 ? len - start : 32);
+    memset(chunk, 0, sizeof(chunk));
+    for (i = 0; i < clen; i++)
+      for (q = 0; q < K; q++) chunk[i][q] = in[q * stride + start + i];
+    soa_absorb(s, chunk, clen);
+    soa_mix(s);
+  }
+  for (i = 0; i < 8; i++) soa_mix(s);
+}
+
+/* Hash::combine across lanes: 64-byte hash of (left || right) given as
+ * the two 32-byte chunk planes (hash.rs:41-46). */
+static void soa_combine(uint8_t cur[32][SOA_K],
+                        const uint8_t chl[32][SOA_K],
+                        const uint8_t chr[32][SOA_K]) {
+  int i, q;
+  for (i = 0; i < 32; i++)
+    for (q = 0; q < SOA_K; q++) cur[i][q] = PRIMES[i & 15];
+  soa_absorb(cur, chl, 32);
+  soa_mix(cur);
+  soa_absorb(cur, chr, 32);
+  soa_mix(cur);
+  for (i = 0; i < 8; i++) soa_mix(cur);
+}
+
 /* Leaf digests of u64 values: Hash::from_field_elements(&[v]) per value
- * (hash.rs:32-39) — 8 LE bytes each. */
+ * (hash.rs:32-39) — 8 LE bytes each; SOA_K values per SoA tile. */
 void stark_hash_u64s(const uint64_t *values, uint64_t count, uint8_t *out) {
-  uint64_t i;
-  uint8_t buf[8];
-  for (i = 0; i < count; i++) {
-    uint64_t v = values[i];
-    int b;
-    for (b = 0; b < 8; b++) buf[b] = (uint8_t)(v >> (8 * b));
-    stark_hash(buf, 8, out + 32 * i);
+  uint64_t base;
+  for (base = 0; base < count; base += SOA_K) {
+    int K = (int)(count - base < SOA_K ? count - base : SOA_K);
+    uint8_t le[SOA_K][8];
+    uint8_t s[32][SOA_K];
+    int q, b, i;
+    for (q = 0; q < K; q++) {
+      uint64_t v = values[base + q];
+      for (b = 0; b < 8; b++) le[q][b] = (uint8_t)(v >> (8 * b));
+    }
+    soa_hash(&le[0][0], 8, 8, K, s);
+    for (q = 0; q < K; q++)
+      for (i = 0; i < 32; i++) out[(base + q) * 32 + i] = s[i][q];
   }
 }
 
 /* All tree levels bottom-up from w leaf digests (merkle.rs:18-29):
- * out receives 2w-1 digests — level 0 (w), level 1 (w/2), ..., root. */
+ * out receives 2w-1 digests — level 0 (w), level 1 (w/2), ..., root.
+ * Each level's pairwise combines run SOA_K lanes at a time. */
 void stark_merkle_levels(const uint8_t *leaves, uint64_t w, uint8_t *out) {
-  uint64_t off = 0, i;
+  uint64_t off = 0, base;
   memcpy(out, leaves, w * 32);
   while (w > 1) {
     const uint8_t *cur = out + off * 32;
     uint8_t *nxt = out + (off + w) * 32;
-    for (i = 0; i < w / 2; i++)
-      stark_combine(cur + 64 * i, cur + 64 * i + 32, nxt + 32 * i);
+    for (base = 0; base < w / 2; base += SOA_K) {
+      int K = (int)(w / 2 - base < SOA_K ? w / 2 - base : SOA_K);
+      uint8_t chl[32][SOA_K], chr[32][SOA_K], s[32][SOA_K];
+      int q, j;
+      memset(chl, 0, sizeof(chl));
+      memset(chr, 0, sizeof(chr));
+      for (q = 0; q < K; q++)
+        for (j = 0; j < 32; j++) {
+          chl[j][q] = cur[64 * (base + q) + j];
+          chr[j][q] = cur[64 * (base + q) + 32 + j];
+        }
+      soa_combine(s, chl, chr);
+      for (q = 0; q < K; q++)
+        for (j = 0; j < 32; j++) nxt[32 * (base + q) + j] = s[j][q];
+    }
     off += w;
     w /= 2;
   }
@@ -195,25 +305,46 @@ int stark_merkle_verify(const uint8_t leaf[32], uint64_t index,
  * bytes, matching Hash::from_field_elements — hash.rs:32-35), index and
  * root.  Returns -1 when every path verifies, else the smallest failing
  * path position (the caller maps it back to the reference's per-path
- * failure reason).  One call replaces k ctypes round trips. */
+ * failure reason).  Lane-parallel: paths are processed in SOA_K-wide
+ * tiles, every tree level one SoA combine across the tile
+ * (merkle.rs:82-96 refold-by-parity semantics per lane). */
 int64_t stark_merkle_verify_batch(const uint64_t *leaf_values, uint64_t c,
                                   const uint64_t *indices,
                                   const uint8_t *paths, uint64_t path_len,
                                   const uint8_t *roots, uint64_t k) {
-  uint64_t q, j;
-  uint8_t le[8 * 64];
+  uint64_t base, l, j;
   if (c == 0 || c > 64) return -2; /* caller falls back */
-  for (q = 0; q < k; q++) {
-    uint8_t leaf[32];
-    int b;
-    for (j = 0; j < c; j++) {
-      uint64_t v = leaf_values[q * c + j];
-      for (b = 0; b < 8; b++) le[8 * j + b] = (uint8_t)(v >> (8 * b));
+  for (base = 0; base < k; base += SOA_K) {
+    int K = (int)(k - base < SOA_K ? k - base : SOA_K);
+    uint8_t le[SOA_K][8 * 64];
+    uint8_t cur[32][SOA_K], chl[32][SOA_K], chr[32][SOA_K];
+    int i, q, b;
+    for (q = 0; q < K; q++)
+      for (j = 0; j < c; j++) {
+        uint64_t v = leaf_values[(base + q) * c + j];
+        for (b = 0; b < 8; b++) le[q][8 * j + b] = (uint8_t)(v >> (8 * b));
+      }
+    soa_hash(&le[0][0], sizeof(le[0]), 8 * c, K, cur);
+    for (l = 0; l < path_len; l++) {
+      /* Gather (left || right) = parity-ordered (cur, sibling) pairs
+       * into the two 32-byte chunk planes of the 64-byte combine. */
+      memset(chl, 0, sizeof(chl));
+      memset(chr, 0, sizeof(chr));
+      for (q = 0; q < K; q++) {
+        const uint8_t *sib = paths + ((base + q) * path_len + l) * 32;
+        int bit = (int)((indices[base + q] >> l) & 1);
+        for (i = 0; i < 32; i++) {
+          uint8_t cv = cur[i][q];
+          chl[i][q] = bit ? sib[i] : cv;
+          chr[i][q] = bit ? cv : sib[i];
+        }
+      }
+      soa_combine(cur, chl, chr);
     }
-    stark_hash(le, 8 * c, leaf);
-    if (!stark_merkle_verify(leaf, indices[q], paths + q * path_len * 32,
-                             path_len, roots + q * 32))
-      return (int64_t)q;
+    for (q = 0; q < K; q++)
+      for (i = 0; i < 32; i++)
+        if (cur[i][q] != roots[(base + q) * 32 + i])
+          return (int64_t)(base + q);
   }
   return -1;
 }

@@ -613,12 +613,12 @@ class StarkVerifier:
                 ):
                     reason("missing_trace_opening", "missing trace opening")
                     return False
-                values = [fe.value for fe in row_obj.elements]
+                values = row_obj.values_ints()
                 if len(values) != self.air.num_registers:
                     reason("bad_opening_arity", "bad trace opening arity")
                     return False
                 triples.append(
-                    ("trace", j, values, trace_root, path_obj.path)
+                    ("trace", j, values, trace_root, path_obj)
                 )
                 trace_rows[k] = values
             openings.append((idx, comp_fe, trace_rows))

@@ -93,3 +93,78 @@ def test_merkle_levels_matches():
     assert len(got) == len(want)
     for a, b in zip(got, want):
         assert np.array_equal(a, b)
+
+
+def _rand_tree_paths(rng, n_leaves, n_paths, arity):
+    """Build a real Merkle tree over random u64 rows; return rows, indices,
+    paths, root (pure-Python engines — the oracle side)."""
+    from stark_tpu.merkle import MerkleTree
+
+    rows = rng.integers(0, 1 << 63, size=(n_leaves, arity), dtype=np.uint64)
+    leaves = [Hash.from_field_elements([int(v) for v in r]) for r in rows]
+    tree = MerkleTree(leaves)
+    idxs = rng.integers(0, n_leaves, size=n_paths, dtype=np.uint64)
+    paths = [tree.open(int(i)) for i in idxs]
+    return rows, idxs, paths, tree.root
+
+
+def test_merkle_verify_batch_soa_tiles_and_first_fail():
+    """The SoA lane-parallel batch verifier (tiles of 64) vs the scalar
+    walk: all-pass at tile-boundary sizes, and exact smallest-failing-index
+    semantics under tampering anywhere in a tile."""
+    rng = np.random.default_rng(7)
+    for arity in (1, 3):
+        rows, idxs, paths, root = _rand_tree_paths(rng, 128, 130, arity)
+        path_len = len(paths[0])
+        roots_flat = root.data * len(idxs)
+
+        def run(leaf_rows, indices, path_list):
+            flat = b"".join(h.data for p in path_list for h in p)
+            return native.merkle_verify_batch(
+                leaf_rows, indices, flat, path_len, root.data * len(indices)
+            )
+
+        for k in (1, 2, 63, 64, 65, 130):
+            leaf_rows = [
+                [int(v) for v in rows[int(idxs[q])]] for q in range(k)
+            ]
+            assert run(leaf_rows, idxs[:k], paths[:k]) == -1, (arity, k)
+
+        # Tamper one lane per interesting position: the returned index must
+        # be exactly that lane (scalar first-fail semantics), including
+        # lanes inside the second 64-wide tile.
+        for bad in (0, 1, 63, 64, 65, 129):
+            k = 130
+            leaf_rows = [
+                [int(v) for v in rows[int(idxs[q])]] for q in range(k)
+            ]
+            leaf_rows[bad][0] ^= 1
+            assert run(leaf_rows, idxs[:k], paths[:k]) == bad, (arity, bad)
+
+        # Two bad lanes: smallest wins.
+        leaf_rows = [[int(v) for v in rows[int(idxs[q])]] for q in range(130)]
+        leaf_rows[5][0] ^= 1
+        leaf_rows[99][0] ^= 1
+        assert run(leaf_rows, idxs[:130], paths[:130]) == 5
+
+        # Tampered sibling digest (not leaf) also fails at the right lane.
+        k = 70
+        leaf_rows = [[int(v) for v in rows[int(idxs[q])]] for q in range(k)]
+        flat = bytearray(
+            b"".join(h.data for p in paths[:k] for h in p)
+        )
+        flat[66 * path_len * 32 + 5] ^= 0xFF
+        assert (
+            native.merkle_verify_batch(
+                leaf_rows, idxs[:k], bytes(flat), path_len, root.data * k
+            )
+            == 66
+        )
+
+    # Unsupported arity falls back (-2).
+    assert (
+        native.merkle_verify_batch(
+            [[1] * 65], [0], b"\x00" * 32, 1, b"\x00" * 32
+        )
+        == -2
+    )
