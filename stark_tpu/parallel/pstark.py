@@ -158,7 +158,7 @@ class DistributedStarkProver(StarkProver):
             omega=d.Omega,
             offset=d.offset,
             domain_length=d.N,
-            expansion_factor=cfg.blowup,
+            expansion_factor=cfg.blowup // d.h,
             num_colinearity_tests=cfg.num_colinearity_tests,
             mesh=mesh,
         )

@@ -85,10 +85,27 @@ class _Domain:
         self.boundary = air.boundary_constraints(T)
         # Degree bookkeeping: trace polys have degree T-1; a constraint of
         # degree d in the registers has degree d*(T-1); its quotient degree
-        # is that minus deg Z = T - max_off.  Target composition degree is
-        # the FRI bound N/blowup - 1 = T - 1.
-        self.target_degree = T - 1
-        cdeg = air.constraint_degree * (T - 1) - (T - self.max_off)
+        # is that minus deg Z = T - max_off.  The composition target is the
+        # FRI low-degree bound N/expansion - 1 (fri.rs:93-103's bound): for
+        # quotient degrees above T-1 (constraint degree >= 2 with frame
+        # depth >= 2, or degree >= 3 at all) the FRI expansion factor drops
+        # to blowup/h — same evaluation domain N, target degree h*T - 1 —
+        # where h is the smallest power of two admitting the quotients.
+        cdeg = max(air.constraint_degree * (T - 1) - (T - self.max_off), 0)
+        h = 1
+        while h * T - 1 < cdeg:
+            h *= 2
+        if cfg.blowup < 4 * h:
+            raise ValueError(
+                "AIR out of range for this blowup: constraint degree "
+                f"{air.constraint_degree} with frame depth {self.max_off} "
+                f"gives a quotient of degree {cdeg} > blowup/4 * T - 1; "
+                f"the FRI expansion factor blowup/h = {cfg.blowup}/{h} "
+                "must stay >= 4 (fri.rs:41-45).  Use "
+                f"blowup >= {4 * h}."
+            )
+        self.h = h
+        self.target_degree = h * T - 1
         self.transition_shift = self.target_degree - cdeg
         self.boundary_shift = self.target_degree - (T - 2)
         assert self.transition_shift >= 0 and self.boundary_shift >= 0
@@ -258,7 +275,7 @@ class StarkProver:
             omega=d.Omega,
             offset=d.offset,
             domain_length=d.N,
-            expansion_factor=cfg.blowup,
+            expansion_factor=cfg.blowup // d.h,
             num_colinearity_tests=cfg.num_colinearity_tests,
         )
         # Device-side domain precomputation.
@@ -526,11 +543,14 @@ class StarkProver:
         arrays, which jit may not close over (and passing them keeps the
         compiled graph shared across prover instances)."""
         d = self.dom
+        # ONE roll of the whole (c, N) array per frame offset (not per
+        # (offset, register) — c*|offsets| full-HBM passes for wide traces).
         frame = {
-            k: [
-                jnp.roll(trace_lde[r], -k * self.cfg.blowup)
-                for r in range(self.air.num_registers)
-            ]
+            k: list(
+                trace_lde
+                if k == 0
+                else jnp.roll(trace_lde, -k * self.cfg.blowup, axis=-1)
+            )
             for k in self.air.frame_offsets
         }
         cons = self.air.transition_constraints(frame, BatchOps)
@@ -571,7 +591,7 @@ class StarkVerifier:
             omega=d.Omega,
             offset=d.offset,
             domain_length=d.N,
-            expansion_factor=cfg.blowup,
+            expansion_factor=cfg.blowup // d.h,
             num_colinearity_tests=cfg.num_colinearity_tests,
         )
 

@@ -157,3 +157,104 @@ class TestPhaseTimer:
         plain = StarkProver(air, cfg).prove(trace)
         timed = StarkProver(air, cfg).prove(trace, timer=PhaseTimer())
         assert plain == timed
+
+
+class TestDegreeAndWidthGenerality:
+    """Composer generality beyond d<=2/depth<=1 quotients (round-3 weak #2/#3):
+    the degree bookkeeping widens the composition target to h*T-1 and runs
+    FRI at expansion blowup/h when quotient degrees exceed T-1."""
+
+    def test_cube_air_degree3_roundtrip(self):
+        from stark_tpu.models.examples import CubeAir, cube_trace
+
+        air = CubeAir()
+        cfg = StarkConfig(trace_length=64, blowup=8, num_colinearity_tests=8)
+        prover = StarkProver(air, cfg)
+        assert prover.dom.h == 2
+        assert prover.fri.expansion_factor == 4
+        proof = prover.prove(cube_trace(64))
+        assert StarkVerifier(air, cfg).verify(proof)
+
+    def test_cube_air_tamper_rejected(self):
+        from stark_tpu.models.examples import CubeAir, cube_trace
+
+        air = CubeAir()
+        cfg = StarkConfig(trace_length=64, blowup=8, num_colinearity_tests=8)
+        trace = cube_trace(64)
+        trace[7][0] = (trace[7][0] + 1) % P
+        proof = StarkProver(air, cfg).prove(trace)
+        assert not StarkVerifier(air, cfg).verify(proof)
+
+    def test_degree_cap_is_loud(self):
+        """blowup too small for the quotient degree: documented ValueError
+        naming the supported class, not a bare assert (stark._Domain)."""
+        from stark_tpu.models.examples import CubeAir
+
+        with pytest.raises(ValueError, match="blowup >= 8"):
+            StarkProver(
+                CubeAir(),
+                StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=4),
+            )
+
+    def test_square_air_deep_frame_needs_wider_blowup(self):
+        """Degree-2 constraints with frame depth 2 overflow the h=1 budget;
+        h=2 at blowup=8 proves them."""
+        from stark_tpu.models.air import Air, BoundaryConstraint
+
+        class SquareSkipAir(Air):
+            num_registers = 1
+            frame_offsets = (0, 2)
+            constraint_degree = 2
+
+            def transition_constraints(self, frame, ops):
+                return [ops.sub(frame[2][0], ops.mul(frame[0][0], frame[0][0]))]
+
+            def boundary_constraints(self, trace_length):
+                return [
+                    BoundaryConstraint(row=0, register=0, value=3),
+                    BoundaryConstraint(row=1, register=0, value=5),
+                ]
+
+        rows, a, b = [], 3, 5
+        for _ in range(64):
+            rows.append([a])
+            a, b = b, (a * a) % P
+        air = SquareSkipAir()
+        with pytest.raises(ValueError, match="blowup >= 8"):
+            StarkProver(air, StarkConfig(trace_length=64, blowup=4))
+        cfg = StarkConfig(trace_length=64, blowup=8, num_colinearity_tests=8)
+        proof = StarkProver(air, cfg).prove(rows)
+        assert StarkVerifier(air, cfg).verify(proof)
+
+    def test_mds_wide_trace_roundtrip(self):
+        from stark_tpu.models.examples import MdsSquareAir, mds_square_trace
+
+        air = MdsSquareAir()
+        cfg = StarkConfig(trace_length=128, blowup=4, num_colinearity_tests=8)
+        rows = mds_square_trace(128)
+        proof = StarkProver(air, cfg).prove(rows)
+        assert StarkVerifier(air, cfg).verify(proof)
+
+    def test_mds_wide_trace_tamper_rejected(self):
+        from stark_tpu.models.examples import MdsSquareAir, mds_square_trace
+
+        air = MdsSquareAir()
+        cfg = StarkConfig(trace_length=128, blowup=4, num_colinearity_tests=8)
+        rows = mds_square_trace(128).copy()
+        rows[31, 4] = (int(rows[31, 4]) + 1) % P
+        proof = StarkProver(air, cfg).prove(rows)
+        assert not StarkVerifier(air, cfg).verify(proof)
+
+    @pytest.mark.slow
+    def test_mds_wide_trace_large(self):
+        """Flagship wide workload at scale: c=8 registers, T=2^14 — the
+        multi-chunk row-hash absorption path at a realistic STARK shape."""
+        from stark_tpu.models.examples import MdsSquareAir, mds_square_trace
+
+        air = MdsSquareAir()
+        cfg = StarkConfig(
+            trace_length=1 << 14, blowup=4, num_colinearity_tests=16
+        )
+        rows = mds_square_trace(1 << 14)
+        proof = StarkProver(air, cfg).prove(rows)
+        assert StarkVerifier(air, cfg).verify(proof)
