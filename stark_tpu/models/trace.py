@@ -24,13 +24,19 @@ class Trace:
         self.num_columns = len(trace[0])
 
     def get_row(self, i: int):
-        return self.trace[i] if i < len(self.trace) else None
+        """Row i or None out of bounds — EXACT reference semantics:
+        ``self.trace.get(i)`` returns Option (trace.rs:17-19).  Negative i
+        is inexpressible in the reference (usize), so it is out-of-bounds
+        here too rather than Python tail indexing."""
+        return self.trace[i] if 0 <= i < len(self.trace) else None
 
     def get_col(self, j: int) -> list[int]:
         return [row[j] for row in self.trace]
 
     def get(self, i: int, j: int):
-        if i < len(self.trace) and j < len(self.trace[i]):
+        """Cell (i, j) or None out of bounds (Option-chained ``get``,
+        trace.rs:25-27)."""
+        if 0 <= i < len(self.trace) and 0 <= j < len(self.trace[i]):
             return self.trace[i][j]
         return None
 

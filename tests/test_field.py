@@ -168,3 +168,18 @@ class TestScalarField:
                 for c in xs:
                     assert ((a + b) + c).value == (a + (b + c)).value
                     assert (a * (b + c)).value == (a * b + a * c).value
+
+
+def test_invmod_zero_is_zero_documented_divergence():
+    """invmod(0) = 0 (Fermat ladder) where the reference panics
+    (ff.rs:169-178) — pinned as the PARITY.md-documented divergence; the
+    scalar surface keeps the reference's raise."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stark_tpu.field import FiniteField
+    from stark_tpu.ops import fieldops as F
+
+    assert int(np.asarray(F.invmod(jnp.asarray([0], jnp.uint32)))[0]) == 0
+    with pytest.raises(Exception):
+        FiniteField().inv(FiniteField().new_element(0))

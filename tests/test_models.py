@@ -74,3 +74,17 @@ def test_wrong_boundary_rejected():
     trace[0][0] = 5  # boundary says 3
     proof = StarkProver(air, cfg).prove(trace)
     assert not StarkVerifier(air, cfg).verify(proof)
+
+
+def test_trace_out_of_bounds_matches_reference_option():
+    """trace.rs:17-27: get_row/get return Option -> None OOB; negative
+    indices are OOB (usize), not Python tail indexing."""
+    from stark_tpu.models.trace import Trace
+
+    t = Trace.fibonacci(4)
+    assert t.get_row(4) is None
+    assert t.get_row(-1) is None
+    assert t.get(3, 0) == 3
+    assert t.get(-1, 0) is None
+    assert t.get(0, -1) is None
+    assert t.get(0, 1) is None
