@@ -205,6 +205,24 @@ def main() -> None:
         t_hash = _chain_time(hstep, xh2d)
         extras["leaf_hash_Mlanes_per_s"] = round((1 << 20) / t_hash / 1e6, 2)
 
+        # Wide-trace row hashing at c=8 registers (the multi-chunk absorb
+        # path, hash.rs:7-35: 8 u64s = 64 bytes = 2 absorb chunks/leaf) at
+        # 2^18 lanes — the trace-commitment inner loop of the MDS flagship
+        # workload (models/examples.MdsSquareAir).
+        n_rh = 1 << 18
+        cols3d = jnp.tile(
+            xd[:n_rh].reshape(1, n_rh // HB.LANE, HB.LANE), (8, 1, 1)
+        )
+        rstep = jax.jit(
+            lambda v: jnp.tile(
+                (HB.row_hash_rows_core(v)[0].astype(jnp.uint32)
+                 + jnp.uint32(1))[None],
+                (8, 1, 1),
+            )
+        )
+        t_rh = _chain_time(rstep, cols3d)
+        extras["row_hash_c8_Mlanes_per_s"] = round(n_rh / t_rh / 1e6, 2)
+
         # End-to-end STARK proof (Fibonacci AIR) wall time, steady state.
         from stark_tpu import StarkConfig, StarkProver, StarkVerifier
         from stark_tpu.models.fibonacci import (
@@ -270,6 +288,18 @@ def main() -> None:
                 bp.prove_batch([trace] * B)
                 t_batch = min(t_batch, time.perf_counter() - t0)
             extras["batch8_proofs_per_s"] = round(B / t_batch, 2)
+
+        # Amortized batch verification (serving symmetry: one native
+        # path-authentication call across the batch).
+        vproofs = [proof] * 8
+        verifier.verify_batch(vproofs)  # warm
+        t_vb = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ok = verifier.verify_batch(vproofs)
+            t_vb = min(t_vb, time.perf_counter() - t0)
+        assert all(ok)
+        extras["verify_batch8_proofs_per_s"] = round(8 / t_vb, 2)
 
     result = {
         "metric": "NTT points/s/chip at 2^22",

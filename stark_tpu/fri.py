@@ -1222,7 +1222,13 @@ class Fri:
         proof_stream: ProofStream,
         fiat_shamir,
         polynomial_values: list,
+        path_sink: list | None = None,
     ) -> bool:
+        """``path_sink``: when provided, Merkle authentication triples are
+        APPENDED to it instead of verified here — the caller amortizes one
+        native batch call across many proofs (StarkVerifier.verify_batch).
+        Every other check still runs; a True return then means "valid iff
+        the sunk paths authenticate"."""
         field = self.field
         omega = self.omega % P
         offset = self.offset % P
@@ -1375,26 +1381,31 @@ class Fri:
                         # Verify everything popped BEFORE the malformed
                         # object first — the scalar walk would have
                         # rejected an earlier bad path with its own
-                        # reason.
-                        bad_q = _verify_paths_batch(triples)
-                        if bad_q is not None:
-                            reason(
-                                "path_verify",
-                                "merkle authentication path verification "
-                                f"fails for {triples[bad_q][0]}",
-                            )
-                            return False
+                        # reason.  (In sink mode the proof is rejected
+                        # either way; the pending triples are moot.)
+                        if path_sink is None:
+                            bad_q = _verify_paths_batch(triples)
+                            if bad_q is not None:
+                                reason(
+                                    "path_verify",
+                                    "merkle authentication path verification "
+                                    f"fails for {triples[bad_q][0]}",
+                                )
+                                return False
                         reason("missing_path", f"Failed to extract path for {label}")
                         return False
                     triples.append((label, idx, val, root, obj))
-            bad_q = _verify_paths_batch(triples)
-            if bad_q is not None:
-                reason(
-                    "path_verify",
-                    "merkle authentication path verification fails "
-                    f"for {triples[bad_q][0]}",
-                )
-                return False
+            if path_sink is not None:
+                path_sink.extend(triples)
+            else:
+                bad_q = _verify_paths_batch(triples)
+                if bad_q is not None:
+                    reason(
+                        "path_verify",
+                        "merkle authentication path verification fails "
+                        f"for {triples[bad_q][0]}",
+                    )
+                    return False
 
             omega = (omega * omega) % P
             offset = (offset * offset) % P

@@ -595,7 +595,9 @@ class StarkVerifier:
             num_colinearity_tests=cfg.num_colinearity_tests,
         )
 
-    def verify(self, proof: bytes) -> bool:
+    def verify(self, proof: bytes, path_sink: list | None = None) -> bool:
+        """``path_sink``: defer Merkle path authentication to the caller
+        (see :meth:`verify_batch`); all other checks still run here."""
         d, cfg = self.dom, self.cfg
         field = FiniteField()
         fs = FiatShamir()
@@ -612,7 +614,9 @@ class StarkVerifier:
         alphas, betas = _draw_constraint_challenges(fs, field, n_terms)
 
         polynomial_values: list = []
-        if not self.fri.verify(stream, fs, polynomial_values):
+        if not self.fri.verify(
+            stream, fs, polynomial_values, path_sink=path_sink
+        ):
             return False
 
         # Trace openings: pop rows + paths in stream order, authenticate
@@ -642,7 +646,9 @@ class StarkVerifier:
                 )
                 trace_rows[k] = values
             openings.append((idx, comp_fe, trace_rows))
-        if _verify_paths_batch(triples) is not None:
+        if path_sink is not None:
+            path_sink.extend(triples)
+        elif _verify_paths_batch(triples) is not None:
             reason("trace_path_verify", "trace opening fails authentication")
             return False
         for idx, comp_fe, trace_rows in openings:
@@ -651,3 +657,29 @@ class StarkVerifier:
                 reason("composition_mismatch", "composition spot check failed")
                 return False
         return True
+
+    def verify_batch(self, proofs: list[bytes]) -> list[bool]:
+        """Throughput-mode verification: every proof's non-path checks run
+        as usual, then ALL proofs' Merkle authentication paths go through
+        ONE amortized native batch call (fri._verify_paths_batch groups by
+        (path length, leaf arity) — honest same-config proofs land in at
+        most two native calls total, vs 2 per proof + 1 per FRI round
+        singly).  On any authentication failure (rare in serving) the
+        still-candidate proofs are re-verified individually so per-proof
+        results stay exact.  Serving symmetry counterpart to
+        batch.BatchStarkProver (merkle.rs:82-96 batch analogue)."""
+        from stark_tpu.fri import _verify_paths_batch
+
+        results, all_triples = [], []
+        for proof in proofs:
+            sink: list = []
+            ok = self.verify(proof, path_sink=sink)
+            if ok:
+                all_triples.extend(sink)
+            results.append(ok)
+        if _verify_paths_batch(all_triples) is None:
+            return results
+        return [
+            self.verify(proof) if ok else False
+            for proof, ok in zip(proofs, results)
+        ]

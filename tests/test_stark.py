@@ -258,3 +258,43 @@ class TestDegreeAndWidthGenerality:
         rows = mds_square_trace(1 << 14)
         proof = StarkProver(air, cfg).prove(rows)
         assert StarkVerifier(air, cfg).verify(proof)
+
+
+class TestVerifyBatch:
+    """Amortized batch verification (round-3 item 8): one native path-
+    authentication call across proofs, per-proof results exact."""
+
+    def _proofs(self, n=4, T=64):
+        air = FibonacciAir()
+        cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=8)
+        trace = fibonacci_trace_mod_p(T)
+        prover = StarkProver(air, cfg)
+        return air, cfg, [prover.prove(trace) for _ in range(n)]
+
+    def test_honest_batch_all_accepted(self):
+        air, cfg, proofs = self._proofs()
+        v = StarkVerifier(air, cfg)
+        assert v.verify_batch(proofs) == [True] * len(proofs)
+
+    def test_mixed_batch_exact_per_proof_results(self):
+        air, cfg, proofs = self._proofs()
+        v = StarkVerifier(air, cfg)
+        bad_struct = bytearray(proofs[1])
+        bad_struct[5] ^= 0x55            # early corruption: structural reject
+        bad_path = bytearray(proofs[2])
+        bad_path[-10] ^= 0x40            # tail corruption: a path byte
+        mixed = [proofs[0], bytes(bad_struct), bytes(bad_path), proofs[3]]
+        got = v.verify_batch(mixed)
+        want = [v.verify(p) for p in mixed]
+        assert got == want
+        assert got[0] and got[3] and not got[1] and not got[2]
+
+    def test_verify_batch_matches_single_on_all_tampered(self):
+        air, cfg, proofs = self._proofs(n=2)
+        v = StarkVerifier(air, cfg)
+        allbad = []
+        for p in proofs:
+            b = bytearray(p)
+            b[len(b) // 2] ^= 1
+            allbad.append(bytes(b))
+        assert v.verify_batch(allbad) == [v.verify(p) for p in allbad]
