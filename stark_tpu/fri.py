@@ -499,6 +499,20 @@ class Fri:
         does not own)."""
         return jax.device_get(tree)
 
+    def _chain_entry(self) -> int:
+        """Codeword width at/below which the single-fetch prove enters the
+        mega jit; rounds above it dispatch per-round (still zero-sync).
+        The sharded subclass keeps mesh-sharded rounds per-round down to
+        its sharding floor."""
+        return _CHAIN_MAX_WIDTH
+
+    def _replicate_for_mega(self, codeword, inv_x_list, chain_start: int):
+        """Hook before the mega jit: the sharded subclass gathers the
+        entry codeword and the chain rounds' inverse-x ladders to a
+        replicated layout (one ICI all-gather each) so the fused tail
+        compiles as replicated compute; identity on a single device."""
+        return codeword, inv_x_list
+
     def commit(
         self,
         initial_codeword,
@@ -744,8 +758,10 @@ class Fri:
             r = 0
             # Wide prefix: per-round dispatches (their unrolled hash chains
             # are the HBM-optimal regime; fusing them is the known compile
-            # blowup), still zero host syncs.
-            while (int(codeword.shape[0]) > _CHAIN_MAX_WIDTH
+            # blowup; on a mesh these rounds carry the SHARDED trees/folds),
+            # still zero host syncs.
+            chain_entry = self._chain_entry()
+            while (int(codeword.shape[0]) > chain_entry
                    and r < rounds - 1):
                 tree = self.build_tree_full_device(codeword)
                 root_bytes = tree.root_bytes_dev()
@@ -798,6 +814,9 @@ class Fri:
             inv_x_list = [
                 self._plan.inv_x_mont(i) for i in range(rounds - 1)
             ]
+            codeword, inv_x_list = self._replicate_for_mega(
+                codeword, inv_x_list, r
+            )
             mega = _mega_prove_fn(key, extra_gather_key, extra_gather)
 
             def run_mega(idx_override, use_override: bool):
@@ -880,7 +899,7 @@ class Fri:
                 count_host,
                 query_host,
                 fetched2,
-            ) = _unpack_u8(jax.device_get(packed), spec)
+            ) = _unpack_u8(self._fetch(packed), spec)
 
         with timer.phase("fri_emit"):
             # Host replay: transcript bytes + challenges (asserting the
@@ -919,7 +938,7 @@ class Fri:
                     jnp.asarray(top_level_indices, jnp.uint32), True
                 )
                 (_, _, _, _, _, _, query_host, fetched2) = _unpack_u8(
-                    jax.device_get(packed2), spec
+                    self._fetch(packed2), spec
                 )
             meta2 = (
                 extra_meta(top_level_indices)

@@ -65,14 +65,50 @@ class ShardedFri(Fri):
     """FRI whose fold and Merkle commitment run sharded over a mesh.
 
     Protocol behavior (and bytes) identical to :class:`stark_tpu.fri.Fri`.
+
+    Round-4 architecture: the mesh prover runs the SAME single-fetch
+    chained prove as one chip (fri._prove_chained) — wide rounds stay
+    per-round with mesh-sharded trees and folds (zero host syncs), then at
+    the chain-entry width the codeword is gathered to a replicated layout
+    (one ICI all-gather of <= 4*entry bytes) and the existing mega jit
+    finishes commit tail + index sampling + ALL query gathers + packing in
+    one dispatch.  The wide sharded trees' level rows stay mesh-sharded
+    inside the mega's query gathers; GSPMD inserts the (tiny, k-sized)
+    cross-shard gathers.  Bytes unchanged at any device count.
     """
 
     # Sharded trees are full-device (parallel/pmerkle.py), so the zero-sync
-    # commit chain applies on the mesh too.  The single-device fused-round
-    # kernel is disabled: narrow rounds here carry mesh-sharded arrays whose
-    # placement the per-piece chain handles explicitly.
+    # commit chain AND the fused mega tail apply on the mesh.
     device_chain = True
-    fused_round = False
+    fused_round = True
+
+    #: Optional override of the chain-entry width (tests/dryrun force a
+    #: small value so sharded wide rounds are exercised at tiny shapes).
+    chain_entry_width: int | None = None
+
+    def _chain_entry(self) -> int:
+        if self.chain_entry_width is not None:
+            return self.chain_entry_width
+        # Keep rounds sharded down to the sharded-tree floor (below it the
+        # trees are single-device anyway), but never below the fused
+        # tail's measured sweet spot.
+        from stark_tpu.fri import _CHAIN_MAX_WIDTH
+        from stark_tpu.ops import hash_batch as HB
+
+        return max(_CHAIN_MAX_WIDTH, 2 * HB.LANE * self._D)
+
+    def _replicate_for_mega(self, codeword, inv_x_list, chain_start: int):
+        rep = NamedSharding(self.mesh, P())
+
+        def pull(x):
+            if isinstance(x, jax.Array) and x.sharding != rep:
+                return jax.device_put(x, rep)
+            return x
+
+        inv_x = list(inv_x_list)
+        for i in range(chain_start, len(inv_x)):
+            inv_x[i] = pull(inv_x[i])
+        return pull(codeword), inv_x
 
     def build_tree_full_device(self, codeword):
         n = int(codeword.shape[0])

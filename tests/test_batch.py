@@ -125,3 +125,23 @@ def test_batch_sharded_matches_singles():
     for b in range(B):
         assert batch[b] == single.prove(traces[b]), f"proof {b} differs"
         assert verifier.verify(batch[b])
+
+
+def test_batch_mesh_mega_batch_sharded():
+    """Round-4: D | B engages the single-fetch batch mega BATCH-SHARDED
+    over the mesh (each device proves B/D proofs, zero cross-device
+    communication until the packed fetch) — bytes identical to
+    single-device single-proof runs."""
+    from stark_tpu.batch import _BATCH_MEGA_CACHE
+    from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
+    from stark_tpu.parallel.mesh import make_mesh
+
+    B, T = 8, 64
+    air = FibonacciAir()
+    cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=16)
+    traces = [fibonacci_trace_mod_p(T)] * B
+    before = len(_BATCH_MEGA_CACHE)
+    got = BatchStarkProver(air, cfg, B, mesh=make_mesh()).prove_batch(traces)
+    assert len(_BATCH_MEGA_CACHE) > before, "mega path not taken on mesh"
+    want = StarkProver(air, cfg).prove(traces[0])
+    assert all(g == want for g in got)

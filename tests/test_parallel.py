@@ -151,3 +151,53 @@ class TestShardedFoldFallback:
         )
         want = np.asarray(plain.fold_codeword(jnp.asarray(cw), alpha, 0))
         assert np.array_equal(got, want)
+
+
+class TestMeshChainedProve:
+    def test_mesh_single_fetch_chained_with_sharded_prefix(self, mesh):
+        """Round-4: the mesh prover runs the SAME single-fetch mega
+        architecture — sharded wide FRI rounds (forced via
+        chain_entry_width), then the replicated mega tail — and the bytes
+        still match the single-device prover exactly."""
+        from stark_tpu import StarkConfig, StarkProver, StarkVerifier
+        from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
+        from stark_tpu.parallel.pstark import DistributedStarkProver
+        from stark_tpu.utils.profiling import PhaseTimer
+
+        air = FibonacciAir()
+        # N = 4096: the 4096- and 2048-wide rounds use SHARDED trees
+        # (>= 2*128*8 floor), the 1024-wide round a single-device full
+        # tree, then the mega tail from 512 down.
+        cfg = StarkConfig(trace_length=1024, blowup=4, num_colinearity_tests=4)
+        trace = fibonacci_trace_mod_p(1024)
+        prover = DistributedStarkProver(air, cfg, mesh)
+        prover.fri.chain_entry_width = 512
+        timer = PhaseTimer()
+        p8 = prover.prove(trace, timer=timer)
+        assert "fri_fetch" in timer.phases, "chained path not active on mesh"
+        assert p8 == StarkProver(air, cfg).prove(trace)
+        assert StarkVerifier(air, cfg).verify(p8)
+
+    @pytest.mark.slow
+    def test_mesh_chained_large_shape(self, mesh):
+        """Sharding beyond toy widths (VERDICT round-3 item 1c): T=2^16,
+        N=2^18 on the 8-device virtual mesh — sharded four-step NTT,
+        sharded trace tree, sharded wide FRI rounds down to the default
+        chain entry, mega tail — byte-identical to single-device."""
+        from stark_tpu import StarkConfig, StarkProver, StarkVerifier
+        from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
+        from stark_tpu.parallel.pstark import DistributedStarkProver
+        from stark_tpu.utils.profiling import PhaseTimer
+
+        air = FibonacciAir()
+        cfg = StarkConfig(
+            trace_length=1 << 16, blowup=4, num_colinearity_tests=8
+        )
+        trace = fibonacci_trace_mod_p(1 << 16)
+        prover = DistributedStarkProver(air, cfg, mesh)
+        # Default entry (2^17): the 2^18-wide round runs sharded.
+        timer = PhaseTimer()
+        p8 = prover.prove(trace, timer=timer)
+        assert "fri_fetch" in timer.phases
+        assert p8 == StarkProver(air, cfg).prove(trace)
+        assert StarkVerifier(air, cfg).verify(p8)
