@@ -27,17 +27,24 @@ def _demo(_args) -> int:
 
 def _prove(args) -> int:
     from stark_tpu import StarkConfig, StarkProver
-    from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
+    from stark_tpu.models import get_model
     from stark_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    air, trace_fn, min_blowup = get_model(args.model)
+    if args.blowup < min_blowup:
+        print(
+            f"model '{args.model}' needs --blowup >= {min_blowup} "
+            "(composition degree bookkeeping, see stark._Domain)",
+            file=sys.stderr,
+        )
+        return 2
     cfg = StarkConfig(
         trace_length=args.trace_length,
         blowup=args.blowup,
         num_colinearity_tests=args.queries,
     )
-    air = FibonacciAir()
-    trace = fibonacci_trace_mod_p(args.trace_length)
+    trace = trace_fn(args.trace_length)
     prover = StarkProver(air, cfg)
     t0 = time.time()
     proof = prover.prove(trace)
@@ -45,7 +52,7 @@ def _prove(args) -> int:
     with open(args.out, "wb") as f:
         f.write(proof)
     print(
-        f"proved {args.trace_length}-row Fibonacci trace in {dt:.2f}s "
+        f"proved {args.trace_length}-row {args.model} trace in {dt:.2f}s "
         f"-> {args.out} ({len(proof)} bytes)"
     )
     return 0
@@ -53,11 +60,12 @@ def _prove(args) -> int:
 
 def _verify(args) -> int:
     from stark_tpu import StarkConfig, StarkVerifier
-    from stark_tpu.models.fibonacci import FibonacciAir
+    from stark_tpu.models import get_model
     from stark_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 
+    air, _trace_fn, _min_blowup = get_model(args.model)
     cfg = StarkConfig(
         trace_length=args.trace_length,
         blowup=args.blowup,
@@ -65,7 +73,7 @@ def _verify(args) -> int:
     )
     proof = open(args.proof, "rb").read()
     t0 = time.time()
-    ok = StarkVerifier(FibonacciAir(), cfg).verify(proof)
+    ok = StarkVerifier(air, cfg).verify(proof)
     dt = time.time() - t0
     print(f"verify: {'ACCEPT' if ok else 'REJECT'} in {dt:.3f}s")
     return 0 if ok else 1
@@ -124,7 +132,10 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("demo", help="reference main.rs parity demo")
 
-    pp = sub.add_parser("prove", help="prove a Fibonacci trace")
+    from stark_tpu.models import MODEL_NAMES
+
+    pp = sub.add_parser("prove", help="prove an example-model trace")
+    pp.add_argument("--model", choices=MODEL_NAMES, default="fib")
     pp.add_argument("--trace-length", type=int, default=1024)
     pp.add_argument("--blowup", type=int, default=4)
     pp.add_argument("--queries", type=int, default=16)
@@ -132,6 +143,7 @@ def main(argv=None) -> int:
 
     pv = sub.add_parser("verify", help="verify a proof file")
     pv.add_argument("proof")
+    pv.add_argument("--model", choices=MODEL_NAMES, default="fib")
     pv.add_argument("--trace-length", type=int, default=1024)
     pv.add_argument("--blowup", type=int, default=4)
     pv.add_argument("--queries", type=int, default=16)

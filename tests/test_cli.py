@@ -47,3 +47,29 @@ def test_prove_verify_inspect_roundtrip(tmp_path, capsys):
 def test_unknown_command_rejected():
     with pytest.raises(SystemExit):
         main(["frobnicate"])
+
+
+def test_cli_model_selection(tmp_path, capsys):
+    """--model reaches every registry entry; cube needs blowup 8 (loud
+    exit 2 below it)."""
+    proof_file = str(tmp_path / "p.bin")
+    base = ["--trace-length", "64", "--queries", "4", "--out", proof_file]
+    assert main(["prove", "--model", "fib2", *base]) == 0
+    assert (
+        main(
+            ["verify", proof_file, "--model", "fib2", "--trace-length",
+             "64", "--queries", "4"]
+        )
+        == 0
+    )
+    # wrong model for the proof: must reject, not accept
+    assert (
+        main(
+            ["verify", proof_file, "--model", "square", "--trace-length",
+             "64", "--queries", "4"]
+        )
+        == 1
+    )
+    # cube below its minimum blowup: loud usage error
+    assert main(["prove", "--model", "cube", *base, "--blowup", "4"]) == 2
+    capsys.readouterr()
