@@ -136,3 +136,47 @@ assert proof == expected, "TPU proof bytes != CPU proof bytes"
 print("chained prove bytes OK")
 """
     )
+
+
+def test_mds_wide_trace_bytes_on_device_match_cpu(tmp_path):
+    """Round-4 wide flagship (c=8, degree-2, multi-chunk row hashing) on
+    the REAL chip: bytes must match the CPU prover's."""
+    from stark_tpu import StarkConfig, StarkProver, StarkVerifier
+    from stark_tpu.models.examples import MdsSquareAir, mds_square_trace
+
+    T = 1 << 10
+    air = MdsSquareAir()
+    cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=8)
+    rows = mds_square_trace(T)
+    cpu_proof = StarkProver(air, cfg).prove(rows)
+    assert StarkVerifier(air, cfg).verify(cpu_proof)
+    expected_file = tmp_path / "expected_mds.bin"
+    expected_file.write_bytes(cpu_proof)
+    _run_on_tpu(
+        f"""
+from stark_tpu import StarkConfig, StarkProver
+from stark_tpu.models.examples import MdsSquareAir, mds_square_trace
+T = {T}
+cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=8)
+proof = StarkProver(MdsSquareAir(), cfg).prove(mds_square_trace(T))
+expected = open({str(expected_file)!r}, "rb").read()
+assert proof == expected, "TPU MDS proof bytes != CPU proof bytes"
+print("mds wide bytes OK")
+"""
+    )
+
+
+def test_degree3_cube_roundtrip_on_device():
+    """Degree-3 AIR (h=2 composition widening, FRI expansion blowup/2)
+    proves and verifies on the real chip."""
+    _run_on_tpu(
+        """
+from stark_tpu import StarkConfig, StarkProver, StarkVerifier
+from stark_tpu.models.examples import CubeAir, cube_trace
+T = 1 << 10
+cfg = StarkConfig(trace_length=T, blowup=8, num_colinearity_tests=8)
+proof = StarkProver(CubeAir(), cfg).prove(cube_trace(T))
+assert StarkVerifier(CubeAir(), cfg).verify(proof)
+print("cube on-device OK")
+"""
+    )
