@@ -201,3 +201,56 @@ class TestMeshChainedProve:
         assert "fri_fetch" in timer.phases
         assert p8 == StarkProver(air, cfg).prove(trace)
         assert StarkVerifier(air, cfg).verify(p8)
+
+
+class TestCommunicationVolume:
+    def test_fourstep_ntt_collective_bytes_are_optimal(self, mesh):
+        """The compiled sharded NTT moves EXACTLY 3 all_to_alls of n/D
+        words per device — no hidden all-gathers/reduces (the BASELINE.md
+        config-5 communication-accounting claim, pinned in CI).  Counted
+        from the partitioned HLO (platform-independent)."""
+        import re
+
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from stark_tpu.parallel import pntt
+
+        n, D = 1 << 12, mesh.devices.size
+        R, C, tw, tws = pntt._fourstep_consts(n, False)
+        jfn = jax.jit(
+            jax.shard_map(
+                lambda a, b, c: pntt._local_fourstep(
+                    a, b, c, R=R, C=C, D=D, inverse=False
+                ),
+                mesh=mesh,
+                in_specs=(P(AXIS), P(AXIS, None), P(AXIS, None)),
+                out_specs=P(AXIS),
+            )
+        )
+        x = jax.device_put(
+            jnp.zeros((n,), jnp.uint32), NamedSharding(mesh, P(AXIS))
+        )
+        tw_sh = NamedSharding(mesh, P(AXIS, None))
+        hlo = jfn.lower(
+            x,
+            jax.device_put(jnp.asarray(tw), tw_sh),
+            jax.device_put(jnp.asarray(tws), tw_sh),
+        ).compile().as_text()
+        a2a_sigs = [
+            m.group(1)
+            for line in hlo.splitlines()
+            if (m := re.search(r"= *(.*?) all-to-all\(", line))
+        ]
+        assert len(a2a_sigs) == 3, f"expected 3 all_to_alls: {a2a_sigs}"
+        for sig in a2a_sigs:
+            # Sum elements over every shape in the signature (the CPU
+            # backend lowers to a tuple-of-arrays all-to-all).
+            count = 0
+            for dims in re.findall(r"u32\[([\d,]+)\]", sig):
+                k = 1
+                for d in dims.split(","):
+                    k *= int(d)
+                count += k
+            assert count == n // D, (sig, n // D)
+        for bad in ("all-gather", "all-reduce", "reduce-scatter"):
+            assert bad not in hlo, f"unexpected {bad} in the sharded NTT"
