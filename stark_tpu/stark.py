@@ -40,7 +40,7 @@ from stark_tpu.field import FiniteField
 from stark_tpu.fri import Fri
 from stark_tpu.hashfn import Hash
 from stark_tpu.merkle import MerkleTree
-from stark_tpu.models.air import Air, BatchOps, ScalarOps
+from stark_tpu.models.air import Air, BatchOps, BoundaryConstraint, ScalarOps
 from stark_tpu.ops import fieldops as F
 from stark_tpu.ops import hash_batch as HB
 from stark_tpu.ops import ntt as NTT
@@ -82,7 +82,13 @@ class _Domain:
         # Z(x) = (x^T - 1) / E(x), E(x) = prod_{i=T-max_off}^{T-1} (x - w^i).
         self.excluded = [pow(self.omega, i, P) for i in range(T - self.max_off, T)]
         self.num_transition = air.num_transition_constraints()
-        self.boundary = air.boundary_constraints(T)
+        # Normalize to python ints: a numpy scalar smuggled in as a
+        # boundary value would silently wrap the verifier's (unbounded
+        # int) spot-check arithmetic at uint64 width.
+        self.boundary = [
+            BoundaryConstraint(int(bc.row), int(bc.register), int(bc.value))
+            for bc in air.boundary_constraints(T)
+        ]
         # Degree bookkeeping: trace polys have degree T-1; a constraint of
         # degree d in the registers has degree d*(T-1); its quotient degree
         # is that minus deg Z = T - max_off.  The composition target is the

@@ -254,3 +254,22 @@ class TestCommunicationVolume:
             assert count == n // D, (sig, n // D)
         for bad in ("all-gather", "all-reduce", "reduce-scatter"):
             assert bad not in hlo, f"unexpected {bad} in the sharded NTT"
+
+
+    @pytest.mark.slow
+    def test_mesh_wide_air_bytes_match_single(self, mesh):
+        """Wide c=8 AIR through the full mesh pipeline (sharded (c, T)
+        iNTT/LDE, sharded row-tree, 16-term device challenge chain,
+        sharded wide round + mega tail): bytes == single-device."""
+        from stark_tpu import StarkConfig, StarkProver, StarkVerifier
+        from stark_tpu.models.examples import MdsSquareAir, mds_square_trace
+        from stark_tpu.parallel.pstark import DistributedStarkProver
+
+        air = MdsSquareAir()
+        cfg = StarkConfig(trace_length=512, blowup=4, num_colinearity_tests=4)
+        rows = mds_square_trace(512)
+        prover = DistributedStarkProver(air, cfg, mesh)
+        prover.fri.chain_entry_width = 512
+        p8 = prover.prove(rows)
+        assert p8 == StarkProver(air, cfg).prove(rows)
+        assert StarkVerifier(air, cfg).verify(p8)

@@ -298,3 +298,46 @@ class TestVerifyBatch:
             b[len(b) // 2] ^= 1
             allbad.append(bytes(b))
         assert v.verify_batch(allbad) == [v.verify(p) for p in allbad]
+
+
+class TestLastRowBoundary:
+    def test_boundary_on_final_row(self):
+        """Boundary constraints may pin ANY row, including the last one —
+        the boundary zerofier x - w^row is independent of the transition
+        enforcement range (which excludes trailing rows)."""
+        from stark_tpu.models.air import Air, BoundaryConstraint
+        from stark_tpu.models.fibonacci import fibonacci_trace_mod_p
+
+        rows = fibonacci_trace_mod_p(64)
+        last = rows[-1][0]
+
+        class PinnedFibAir(Air):
+            num_registers = 1
+            frame_offsets = (0, 1, 2)
+            constraint_degree = 1
+
+            def transition_constraints(self, frame, ops):
+                return [
+                    ops.sub(frame[2][0], ops.add(frame[0][0], frame[1][0]))
+                ]
+
+            def boundary_constraints(self, trace_length):
+                return [
+                    BoundaryConstraint(row=0, register=0, value=1),
+                    BoundaryConstraint(row=1, register=0, value=1),
+                    BoundaryConstraint(
+                        row=trace_length - 1, register=0, value=last
+                    ),
+                ]
+
+        air = PinnedFibAir()
+        cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=8)
+        proof = StarkProver(air, cfg).prove(rows)
+        assert StarkVerifier(air, cfg).verify(proof)
+        # A trace whose final value differs must be rejected.
+        bad = [list(r) for r in rows]
+        bad[-1][0] = (bad[-1][0] + 1) % P
+        # keep the recurrence intact up to the enforcement range by
+        # breaking only the final (transition-excluded) row
+        proof_bad = StarkProver(air, cfg).prove(bad)
+        assert not StarkVerifier(air, cfg).verify(proof_bad)
