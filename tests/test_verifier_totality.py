@@ -181,3 +181,45 @@ class TestStarkVerifierTotality:
                 stream.objects[i] = FieldElements(obj.elements[:3])
                 break
         assert verifier.verify(stream.serialize()) is False
+
+
+class TestVerifyBatchTotality:
+    """verify_batch (deferred path authentication) must be total and
+    per-proof-exact under the same hostile inputs as single verify —
+    the sink mode changes control flow, so it gets its own sweep."""
+
+    @pytest.fixture(scope="class")
+    def stark(self):
+        from stark_tpu import StarkConfig, StarkProver, StarkVerifier
+        from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
+
+        cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=4)
+        air = FibonacciAir()
+        proof = StarkProver(air, cfg).prove(fibonacci_trace_mod_p(64))
+        return StarkVerifier(air, cfg), proof
+
+    def test_byte_flip_sweep_matches_single(self, stark):
+        verifier, proof = stark
+        muts = []
+        for pos in range(1, len(proof), max(len(proof) // 17, 1)):
+            bad = bytearray(proof)
+            bad[pos] ^= 0x20
+            muts.append(bytes(bad))
+        batch = [proof, *muts, proof]
+        got = verifier.verify_batch(batch)
+        want = [verifier.verify(p) for p in batch]
+        assert got == want
+        assert got[0] is True and got[-1] is True
+
+    def test_truncation_sweep_matches_single(self, stark):
+        verifier, proof = stark
+        muts = [proof[:end] for end in range(0, len(proof), max(len(proof) // 11, 1))]
+        got = verifier.verify_batch(muts)
+        assert got == [verifier.verify(p) for p in muts]
+        assert not any(got)
+
+    def test_garbage_batch(self, stark):
+        verifier, proof = stark
+        batch = [b"", b"\x00" * 64, bytes(range(256)), proof]
+        got = verifier.verify_batch(batch)
+        assert got == [False, False, False, True]
