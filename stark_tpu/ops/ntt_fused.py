@@ -119,6 +119,9 @@ class FusedNTTPlan:
         assert n & (n - 1) == 0 and n >= 4
         lg = n.bit_length() - 1
         lg1 = lg // 2
+        env = os.environ.get("STARK_TPU_NTT_LG1")
+        if env:  # split-tuning knob (A/B harness; bounded to valid splits)
+            lg1 = max(2, min(int(env), lg - 7))
         n1, n2 = 1 << lg1, n >> lg1
         assert n2 % _LANES == 0, (n, n1, n2)
         self.n, self.n1, self.n2 = n, n1, n2
