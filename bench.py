@@ -289,6 +289,16 @@ def main() -> None:
                 t_batch = min(t_batch, time.perf_counter() - t0)
             extras["batch8_proofs_per_s"] = round(B / t_batch, 2)
 
+            # Pipelined serving (prove_many, depth 2): device executes
+            # batch k+1 while the host fetches/emits batch k.
+            NB = 4
+            t_pm = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                bp.prove_many([trace] * (NB * B), depth=2)
+                t_pm = min(t_pm, time.perf_counter() - t0)
+            extras["pipeline_proofs_per_s"] = round(NB * B / t_pm, 2)
+
         # Amortized batch verification (serving symmetry: one native
         # path-authentication call across the batch).
         vproofs = [proof] * 8

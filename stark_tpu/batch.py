@@ -573,6 +573,24 @@ class BatchStarkProver:
             NamedSharding(self.mesh, PartitionSpec(None, None, AXIS)),
         )
 
+    def _mega_ok(self) -> bool:
+        """Shapes admit the single-fetch mega path (see prove_batch)."""
+        from stark_tpu.fri import _SAMPLE_MAX_REDUCED
+
+        d = self._single.dom
+        rounds = self.fri.num_rounds()
+        reduced = d.N >> (rounds - 1) if rounds else d.N
+        return (
+            (self.mesh is None or self.B % self.mesh.devices.size == 0)
+            and rounds >= 2
+            and d.N >= 2 * LANE
+            # every round's GLOBAL forest width must fill >= 2 lane tiles
+            # (the fixed-width tail loop halves sublane rows)
+            and self.B * reduced >= 2 * LANE
+            and reduced <= _SAMPLE_MAX_REDUCED
+            and self.cfg.num_colinearity_tests <= reduced
+        )
+
     def prove_batch(self, traces: list[list[list[int]]]) -> list[bytes]:
         """Single-fetch mega path when the shapes admit it (single host
         fetch for the whole batch); classic 3-fetch path otherwise
@@ -587,38 +605,77 @@ class BatchStarkProver:
         transcripts, sampler state and gathers are all batch-major).
         This is the production serving layout: throughput scales
         linearly in D.  Bytes identical either way (tested)."""
-        from stark_tpu.fri import _SAMPLE_MAX_REDUCED
-
-        d = self._single.dom
-        rounds = self.fri.num_rounds()
-        reduced = d.N >> (rounds - 1) if rounds else d.N
-        if (
-            (self.mesh is None or self.B % self.mesh.devices.size == 0)
-            and rounds >= 2
-            and d.N >= 2 * LANE
-            # every round's GLOBAL forest width must fill >= 2 lane tiles
-            # (the fixed-width tail loop halves sublane rows)
-            and self.B * reduced >= 2 * LANE
-            and reduced <= _SAMPLE_MAX_REDUCED
-            and self.cfg.num_colinearity_tests <= reduced
-        ):
-            return self._prove_batch_mega(traces)
+        if self._mega_ok():
+            return self._mega_finish(self._mega_dispatch(traces))
         return self._prove_batch_classic(traces)
 
+    def prove_many(
+        self, traces: list[list[list[int]]], depth: int = 2
+    ) -> list[bytes]:
+        """Pipelined serving: prove any number of same-shape traces in
+        batches of B, keeping up to ``depth`` batches in flight.
+
+        JAX dispatch is asynchronous, so issuing batch k+1's mega graph
+        BEFORE fetching batch k's packed buffer overlaps the device
+        execution of k+1 with the host's fetch round-trip and wire emit of
+        k — the steady-state wall per batch drops from (device + fetch +
+        emit) to max(device, fetch + emit).  Bytes are identical to
+        sequential ``prove_batch`` calls: each batch's transcript replay
+        is fully independent (proofs share nothing).
+
+        A trailing partial batch is padded by repeating its last trace
+        (the mega graph is shape-specialized to B); pad proofs are
+        dropped.  Falls back to sequential ``prove_batch`` when the mega
+        path is unavailable (the classic path's three host fetches would
+        serialize anyway)."""
+        import collections
+
+        B = self.B
+        n = len(traces)
+        if n == 0:
+            return []
+        chunks = []
+        for i in range(0, n, B):
+            chunk = list(traces[i : i + B])
+            pad = B - len(chunk)
+            chunks.append((pad, chunk + [chunk[-1]] * pad))
+        if not self._mega_ok():
+            out: list[bytes] = []
+            for pad, chunk in chunks:
+                proofs = self.prove_batch(chunk)
+                out.extend(proofs[: B - pad])
+            return out
+
+        depth = max(1, depth)
+        inflight: collections.deque = collections.deque()
+        out = []
+        for pad, chunk in chunks:
+            inflight.append((pad, self._mega_dispatch(chunk)))
+            if len(inflight) >= depth + 1:
+                pad0, st = inflight.popleft()
+                out.extend(self._mega_finish(st)[: B - pad0])
+        while inflight:
+            pad0, st = inflight.popleft()
+            out.extend(self._mega_finish(st)[: B - pad0])
+        return out
+
     def _prove_batch_mega(self, traces) -> list[bytes]:
-        """B proofs with ONE device fetch: everything from the trace LDE
-        to the packed buffer runs inside _batch_mega_fn; the host replays
-        each proof's transcript/challenges/sampling byte-exactly and emits
-        raw wire segments (same replay-integrity and idx_override
-        fallback contracts as fri._prove_chained)."""
-        from stark_tpu.fri import (
-            _SAMPLE_SLACK,
-            _unpack_u8,
-        )
+        """B proofs with ONE device fetch (kept as the test seam; the
+        public paths call dispatch/finish directly)."""
+        return self._mega_finish(self._mega_dispatch(traces))
+
+    def _mega_dispatch(self, traces):
+        """Queue the whole batch's device work (LDE + mega graph) and
+        return the in-flight state; does NOT block on the device.
+        Everything from the trace LDE to the packed buffer runs inside
+        _batch_mega_fn; _mega_finish fetches the buffer and replays each
+        proof's transcript/challenges/sampling byte-exactly (same
+        replay-integrity and idx_override fallback contracts as
+        fri._prove_chained)."""
+        from stark_tpu.fri import _SAMPLE_SLACK
 
         B, cfg, d = self.B, self.cfg, self._single.dom
         assert len(traces) == B
-        field = FiniteField()
         fri = self.fri
         rounds = fri.num_rounds()
         k = cfg.num_colinearity_tests
@@ -677,6 +734,23 @@ class BatchStarkProver:
             )
 
         packed = run(jnp.zeros((B, k), jnp.uint32), False)
+        return packed, run, key
+
+    def _mega_finish(self, state) -> list[bytes]:
+        """Fetch a dispatched batch's packed buffer, replay transcripts,
+        emit wire segments.  Blocks on the ONE device fetch."""
+        from stark_tpu.fri import _unpack_u8
+
+        packed, run, key = state
+        B, cfg, d = self.B, self.cfg, self._single.dom
+        field = FiniteField()
+        fri = self.fri
+        rounds = fri.num_rounds()
+        k = cfg.num_colinearity_tests
+        n_terms = d.num_transition + len(d.boundary)
+        c = self.air.num_registers
+        size = d.N >> 1
+        reduced = d.N >> (rounds - 1)
 
         spec = _BATCH_MEGA_CACHE.get(("spec",) + key)
         if spec is None:

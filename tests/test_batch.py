@@ -93,6 +93,41 @@ def test_batch_mega_wide_prelevels_match_singles(monkeypatch):
         assert batch[b] == single.prove(traces[b]), f"proof {b} differs"
 
 
+def test_prove_many_pipelined_matches_singles():
+    """prove_many (depth-2 pipelined dispatch) over 6 traces with B=4:
+    one full batch + one padded partial batch, in flight together.  Bytes
+    must equal single-prover runs; pad proofs must be dropped.  Shapes
+    shared with the mega test above (same compiled graphs)."""
+    B, T, n = 4, 64, 6
+    air = VariantFibAir()
+    cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=16)
+    traces = _traces(n, T)
+    bp = BatchStarkProver(air, cfg, B)
+    assert bp._mega_ok()
+    proofs = bp.prove_many(traces, depth=2)
+    assert len(proofs) == n
+    single = StarkProver(air, cfg)
+    for b in range(n):
+        assert proofs[b] == single.prove(traces[b]), f"proof {b} differs"
+
+
+def test_prove_many_classic_fallback():
+    """prove_many on shapes that fail the mega gate (B*reduced < 2 lane
+    tiles) must fall back to sequential classic batches and still match
+    single-prover bytes, including the padded remainder."""
+    B, T, n = 2, 64, 3
+    air = VariantFibAir()
+    cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=4)
+    traces = _traces(n, T)
+    bp = BatchStarkProver(air, cfg, B)
+    assert not bp._mega_ok()
+    proofs = bp.prove_many(traces)
+    assert len(proofs) == n
+    single = StarkProver(air, cfg)
+    for b in range(n):
+        assert proofs[b] == single.prove(traces[b]), f"proof {b} differs"
+
+
 def test_tiny_batch_narrow_trees():
     """N = 64 < 128 lanes per proof: the forest must keep per-proof (B, w)
     layout (regression for the narrow-tree gather)."""
