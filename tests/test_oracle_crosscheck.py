@@ -285,3 +285,100 @@ class TestLargerCrossCheck:
 
         tpu_proof, _ = stark_tpu_prove(codeword, n, offset, expansion, tests)
         assert tpu_proof == oracle_proof
+
+
+class TestDifferentialMutation:
+    """Differential mutation fuzz: for every mutated proof, the production
+    verifier's verdict must AGREE with the reference semantics (the oracle
+    transliteration).  The totality suite already pins that we never raise
+    and reject these mutations; this pins that the reference would reject
+    them too — i.e. the total verifier is neither over-strict (rejecting
+    bytes the reference accepts) nor under-strict (accepting bytes it
+    rejects).  Oracle panics (Rust assert!/panic! transliterated as Python
+    exceptions, e.g. MerkleTree's pow2 assert) count as rejection — the
+    reference process dies, the proof is certainly not accepted."""
+
+    CONFIG = ([5, 3], 64, 7, 4, 3)  # linear-n64 (fri.rs:565-601)
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        coeffs, n, offset, expansion, tests = self.CONFIG
+        proof, _, codeword = oracle_prove(coeffs, n, offset, expansion, tests)
+        fri = Fri(
+            primitive_nth_root(n), offset, n, expansion, tests, field=FIELD
+        )
+        f = R.FiniteField()
+        ofri = R.Fri(
+            f.prim_nth_root(n), f.new_element(offset), n, expansion, tests
+        )
+        return fri, ofri, f, proof
+
+    @staticmethod
+    def _stark_verdict(fri, data: bytes) -> bool:
+        stream = ProofStream.deserialize(data, FIELD)
+        result = fri.verify(stream, FiatShamir(), [])
+        assert isinstance(result, bool)
+        return result
+
+    @staticmethod
+    def _oracle_verdict(ofri, f, data: bytes) -> bool:
+        try:
+            return bool(
+                ofri.verify(
+                    R.ProofStream.deserialize(data, f), R.FiatShamir(), []
+                )
+            )
+        except Exception:
+            return False  # reference panic == rejection
+
+    def _agree(self, setup, data: bytes, what: str):
+        fri, ofri, f, _ = setup
+        got = self._stark_verdict(fri, data)
+        want = self._oracle_verdict(ofri, f, data)
+        assert got == want, f"{what}: stark_tpu={got} oracle={want}"
+        return got
+
+    def test_valid_accepted_by_both(self, setup):
+        assert self._agree(setup, setup[3], "valid proof")
+
+    def test_byte_flip_differential(self, setup):
+        proof = setup[3]
+        rng = np.random.default_rng(11)
+        positions = sorted(
+            set(
+                rng.integers(0, len(proof), size=48).tolist()
+                + [0, 1, 8, 9, 32, 40, len(proof) - 2, len(proof) - 1]
+            )
+        )
+        for pos in positions:
+            for mask in (0x01, 0x80):
+                bad = bytearray(proof)
+                bad[pos] ^= mask
+                ok = self._agree(
+                    setup, bytes(bad), f"flip pos={pos} mask={mask:#x}"
+                )
+                assert not ok, f"mutation accepted by BOTH at pos={pos}"
+
+    def test_truncation_differential(self, setup):
+        proof = setup[3]
+        for end in range(0, len(proof), 97):
+            assert not self._agree(setup, proof[:end], f"truncate@{end}")
+
+    def test_object_drop_differential(self, setup):
+        proof = setup[3]
+        base = ProofStream.deserialize(proof, FIELD)
+        for skip in range(len(base.objects)):
+            stream = ProofStream.deserialize(proof, FIELD)
+            objs = list(stream.objects)
+            del objs[skip]
+            assert not self._agree(
+                setup, ProofStream(objs).serialize(), f"drop obj {skip}"
+            )
+
+    def test_trailing_garbage_differential(self, setup):
+        """Appended bytes after the last object: both parsers are tolerant
+        (stream.rs:163 breaks on unknown tag) — verdicts must agree either
+        way."""
+        proof = setup[3]
+        for tail in (b"\xff", b"\x00" * 7, b"\x04garbage"):
+            self._agree(setup, proof + tail, f"tail={tail!r}")
