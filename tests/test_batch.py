@@ -176,7 +176,13 @@ def test_batch_mesh_mega_batch_sharded():
     cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=16)
     traces = [fibonacci_trace_mod_p(T)] * B
     before = len(_BATCH_MEGA_CACHE)
-    got = BatchStarkProver(air, cfg, B, mesh=make_mesh()).prove_batch(traces)
+    bp = BatchStarkProver(air, cfg, B, mesh=make_mesh())
+    got = bp.prove_batch(traces)
     assert len(_BATCH_MEGA_CACHE) > before, "mega path not taken on mesh"
     want = StarkProver(air, cfg).prove(traces[0])
     assert all(g == want for g in got)
+
+    # Pipelined serving on the mesh: two batch-sharded megas in flight
+    # (12 = B + padded partial) must produce the same bytes.
+    many = bp.prove_many(traces + traces[:4], depth=2)
+    assert len(many) == 12 and all(m == want for m in many)
