@@ -164,3 +164,69 @@ def mds_square_trace(length: int):
         mixed = (m @ s) % P
         s = (mixed * mixed % P + rc) % P
     return rows
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _mds_expand_fn(block: int):
+    import jax
+    import jax.numpy as jnp
+
+    from stark_tpu.ops import fieldops as F
+
+    m_cols = jnp.asarray(_MDS, dtype=jnp.uint32)     # (i, j)
+    rc_c = jnp.asarray(_RC, dtype=jnp.uint32)
+
+    def step(s, _):
+        # mixed[b, i] = sum_j MDS[i][j] * s[b, j]  (mod p), unrolled over j
+        acc = None
+        for j in range(_MDS_W):
+            t = F.mulmod(s[:, j][:, None], m_cols[:, j][None, :])
+            acc = t if acc is None else F.addmod(acc, t)
+        nxt = F.addmod(F.mulmod(acc, acc), rc_c[None, :])
+        return nxt, s
+
+    def fn(seeds):  # (nb, 8) block-start states
+        _, states = jax.lax.scan(step, seeds, None, length=block)
+        # states: (block, nb, 8); row t = b*block + k is states[k, b]
+        rows = jnp.transpose(states, (1, 0, 2)).reshape(-1, _MDS_W)
+        return rows.T  # (8, nb*block)
+
+    return jax.jit(fn)
+
+
+def mds_square_trace_cols_device(length: int, block: int = 64):
+    """(8, length) uint32 DEVICE trace columns, elementwise equal to
+    ``mds_square_trace(length).T`` — uploading only every ``block``-th
+    state.
+
+    Unlike Fibonacci (linear recurrence, closed-form block seeds —
+    fibonacci.fibonacci_trace_cols_device), s' = (M s)^2 + rc is
+    nonlinear, so the chain is inherently sequential and the host must
+    walk all T steps either way.  What CAN be saved is the witness
+    upload: a T=2^16 c=8 trace is 2 MB (~60 ms at this deployment's
+    relay ~30 MB/s); shipping only the T/block block-start states cuts
+    that by ``block``x, and the device re-expands each block in parallel
+    (a ``block``-step scan over T/block lanes of 8x8 modular matvecs,
+    negligible next to the transfer it replaces).  Feed the result to
+    ``StarkProver.prove(trace_cols=...)``."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    assert length >= 1
+    block = max(1, min(block, length))
+    nb = (length + block - 1) // block
+
+    seeds = np.empty((nb, _MDS_W), dtype=np.uint32)
+    s = np.arange(1, _MDS_W + 1, dtype=np.uint64)
+    m = np.array(_MDS, dtype=np.uint64)
+    rc = np.array(_RC, dtype=np.uint64)
+    for t in range(nb * block):
+        if t % block == 0:
+            seeds[t // block] = s
+        mixed = (m @ s) % P
+        s = (mixed * mixed % P + rc) % P
+
+    return _mds_expand_fn(block)(jnp.asarray(seeds))[:, :length]

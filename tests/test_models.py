@@ -58,6 +58,41 @@ def test_device_trace_cols_prove_bytes_match_rows():
     assert a == b
 
 
+def test_mds_device_trace_generator_matches_host():
+    """mds_square_trace_cols_device == mds_square_trace.T for lengths on
+    and off the block boundary (the block-seed upload + device re-expand
+    must reproduce the host chain exactly)."""
+    import numpy as np
+
+    from stark_tpu.models.examples import (
+        mds_square_trace,
+        mds_square_trace_cols_device,
+    )
+
+    for T, block in ((1, 64), (63, 16), (64, 16), (65, 16), (512, 64)):
+        host = mds_square_trace(T).T
+        dev = np.asarray(mds_square_trace_cols_device(T, block=block))
+        assert dev.shape == host.shape, (T, block)
+        assert np.array_equal(host, dev), (T, block)
+
+
+def test_mds_device_trace_cols_prove_bytes_match_rows():
+    from stark_tpu import StarkConfig, StarkProver
+    from stark_tpu.models.examples import (
+        MdsSquareAir,
+        mds_square_trace,
+        mds_square_trace_cols_device,
+    )
+
+    cfg = StarkConfig(trace_length=128, blowup=4, num_colinearity_tests=4)
+    air = MdsSquareAir()
+    a = StarkProver(air, cfg).prove(mds_square_trace(128))
+    b = StarkProver(air, cfg).prove(
+        trace_cols=mds_square_trace_cols_device(128, block=32)
+    )
+    assert a == b
+
+
 def test_cheating_witness_rejected():
     cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=8)
     air = TwoRegisterFibonacciAir()
