@@ -69,7 +69,8 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if dt < best:
             best, best_phases = dt, timer.ms()
-    print(f"prove[{model}] T=2^{lg} (N=2^{lg + 2}): {best:.3f} s steady")
+    lg_n = lg + (cfg.blowup.bit_length() - 1)
+    print(f"prove[{model}] T=2^{lg} (N=2^{lg_n}): {best:.3f} s steady")
     print("phases:", best_phases)
     print("proof bytes:", len(proof))
 

@@ -606,7 +606,7 @@ class BatchStarkProver:
         This is the production serving layout: throughput scales
         linearly in D.  Bytes identical either way (tested)."""
         if self._mega_ok():
-            return self._mega_finish(self._mega_dispatch(traces))
+            return self._prove_batch_mega(traces)
         return self._prove_batch_classic(traces)
 
     def prove_many(
@@ -627,7 +627,13 @@ class BatchStarkProver:
         (the mega graph is shape-specialized to B); pad proofs are
         dropped.  Falls back to sequential ``prove_batch`` when the mega
         path is unavailable (the classic path's three host fetches would
-        serialize anyway)."""
+        serialize anyway).
+
+        HBM note: up to ``depth + 1`` batches' device state (trace LDE +
+        packed buffer + executing graph) is live at once, multiplying
+        peak HBM accordingly.  At serving shapes (T<=2^16) this is a few
+        hundred MB; near the 2-adicity cap (N=2^23, ~256 MB of LDE per
+        batch at B=8) pass ``depth=1`` or use ``prove_batch``."""
         import collections
 
         B = self.B
@@ -660,8 +666,7 @@ class BatchStarkProver:
         return out
 
     def _prove_batch_mega(self, traces) -> list[bytes]:
-        """B proofs with ONE device fetch (kept as the test seam; the
-        public paths call dispatch/finish directly)."""
+        """B proofs with ONE device fetch: dispatch then finish."""
         return self._mega_finish(self._mega_dispatch(traces))
 
     def _mega_dispatch(self, traces):

@@ -120,8 +120,18 @@ class FusedNTTPlan:
         lg = n.bit_length() - 1
         lg1 = lg // 2
         env = os.environ.get("STARK_TPU_NTT_LG1")
-        if env:  # split-tuning knob (A/B harness; bounded to valid splits)
-            lg1 = max(2, min(int(env), lg - 7))
+        if env:
+            # Split-tuning knob (A/B harness; bounded to valid splits).
+            # Read ONCE per (n, inverse) — plans are lru-cached, so set it
+            # before the first transform of a given size (fresh process
+            # per split in an A/B).  Measured at 2^22: lg//2 wins
+            # (NOTES.md round-4); the knob exists for future shapes.
+            try:
+                lg1 = max(2, min(int(env), lg - 7))
+            except ValueError:
+                raise ValueError(
+                    f"STARK_TPU_NTT_LG1 must be an integer, got {env!r}"
+                ) from None
         n1, n2 = 1 << lg1, n >> lg1
         assert n2 % _LANES == 0, (n, n1, n2)
         self.n, self.n1, self.n2 = n, n1, n2
