@@ -15,17 +15,44 @@ import subprocess
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "hash.c")
 _SO = os.path.join(_HERE, "libstark_host.so")
+_TAG = _SO + ".tag"
 
 AVAILABLE = False
 _lib = None
 
 
+def _host_tag() -> str:
+    """ISA identity of this host, so a cached -march=native .so is never
+    loaded on a machine with a different vector ISA (copying the package
+    directory preserves mtimes, so mtime alone can't catch that — a stale
+    AVX-512 build would SIGILL on an AVX2-only box)."""
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = sorted(
+                {
+                    w
+                    for line in f
+                    if line.startswith(("flags", "Features"))
+                    for w in line.split()[2:]
+                }
+            )
+        ident += " " + " ".join(flags)
+    except OSError:
+        pass
+    return hashlib.sha256(ident.encode()).hexdigest()[:16]
+
+
 def _build() -> bool:
     # -march=native lets the compiler use the full local vector width for
     # the SoA lane-parallel loops in hash.c (AVX2: one 32-lane row per
-    # op); safe because the .so is always built on the machine that runs
-    # it (rebuilt whenever the source is newer).  Plain -O3 still
-    # auto-vectorizes at baseline SSE2 width if -march is rejected.
+    # op); safe because the cache is keyed on source mtime AND the host
+    # ISA tag, so the .so is always one built for this machine.  Plain
+    # -O3 still auto-vectorizes at baseline SSE2 width if -march is
+    # rejected.
     for cc in ("cc", "gcc", "clang"):
         for arch in (["-march=native"], []):
             try:
@@ -35,18 +62,28 @@ def _build() -> bool:
                     capture_output=True,
                     timeout=120,
                 )
+                with open(_TAG, "w") as f:
+                    f.write(_host_tag())
                 return True
             except (OSError, subprocess.SubprocessError):
                 continue
     return False
 
 
+def _cache_stale() -> bool:
+    try:
+        if os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            return True
+        with open(_TAG) as f:
+            return f.read().strip() != _host_tag()
+    except OSError:
+        return True
+
+
 def _load():
     global _lib, AVAILABLE
     try:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-            _SRC
-        ):
+        if _cache_stale():
             if not _build():
                 return
         lib = ctypes.CDLL(_SO)
