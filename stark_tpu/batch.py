@@ -557,6 +557,25 @@ class BatchStarkProver:
             )
         )
 
+    def _fetch(self, tree):
+        """Multi-process safe device fetch (same contract as
+        ShardedFri._fetch): a process may only device_get shards it owns,
+        so arrays still sharded over a multi-process mesh (the batch axis
+        under P(AXIS), or domain-sharded codewords) are replicated first
+        — one GSPMD all-gather, identical bytes on every process."""
+        if self.mesh is None or jax.process_count() == 1:
+            return jax.device_get(tree)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+
+        def pull(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return jax.jit(lambda a: a, out_shardings=rep)(x)
+            return x
+
+        return jax.device_get(jax.tree.map(pull, tree))
+
     def _place_cols(self, cols):
         """Commit (B, c, T) trace columns to the mesh's domain sharding
         (no-op without a mesh or for unshardable T)."""
@@ -798,7 +817,7 @@ class BatchStarkProver:
             q_h,
             tvals_h,
             tsib_h,
-        ) = _unpack_u8(jax.device_get(packed), spec)
+        ) = _unpack_u8(self._fetch(packed), spec)
 
         # 2. Host replay: per-proof transcripts, challenges, sampling.
         streams = [ProofStream() for _ in range(B)]
@@ -846,7 +865,7 @@ class BatchStarkProver:
                 jnp.asarray(per_proof_indices, dtype=jnp.uint32), True
             )
             (_, _, _, _, _, _, _, q_h, tvals_h, tsib_h) = _unpack_u8(
-                jax.device_get(packed2), spec
+                self._fetch(packed2), spec
             )
 
         # 3. Emit raw wire segments per proof (single-prover order).
@@ -898,7 +917,9 @@ class BatchStarkProver:
         trace_roots_dev = trace_forest.root_bytes_dev()     # (B, 32)
 
         # Fetch trace roots (fetch #1) and start per-proof transcripts.
-        trace_roots = np.asarray(trace_roots_dev).astype(np.uint8)
+        trace_roots = np.asarray(self._fetch(trace_roots_dev)).astype(
+            np.uint8
+        )
         streams = [ProofStream() for _ in range(B)]
         fss = [FiatShamir() for _ in range(B)]
         ab = []
@@ -978,7 +999,7 @@ class BatchStarkProver:
         codewords.append(codeword)
 
         # Fetch #2: all roots + device alphas + last codewords.
-        roots_h, alphas_dev_h, last_h = jax.device_get(
+        roots_h, alphas_dev_h, last_h = self._fetch(
             [root_devs, alpha_devs, codewords[-1]]
         )
         for b in range(B):
@@ -1053,7 +1074,7 @@ class BatchStarkProver:
         )                                                       # (B, c, K)
         trace_sib_dev = trace_forest.open_batch_dev(tci)
 
-        fetched_rounds, trace_vals, trace_sib = jax.device_get(
+        fetched_rounds, trace_vals, trace_sib = self._fetch(
             [round_dev, trace_vals_dev, trace_sib_dev]
         )
 

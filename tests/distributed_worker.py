@@ -81,5 +81,23 @@ if dist_T:
     )
     out["dist_proof_sha"] = hashlib.sha256(dproof).hexdigest()
 
+# -- 4. (optional) batch-sharded pipelined serving across processes ---------
+# STARK_DIST_BATCH=B runs BatchStarkProver.prove_many over the GLOBAL mesh
+# (batch axis sharded across the process boundary, two megas in flight) on
+# B + B//2 traces so a padded partial batch is also exercised.  Shapes match
+# test_batch.py::test_batch_mesh_mega_batch_sharded so graphs come warm
+# from the persistent cache.
+dist_B = int(os.environ.get("STARK_DIST_BATCH", "0"))
+if dist_B:
+    from stark_tpu.batch import BatchStarkProver
+
+    bcfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=16)
+    btraces = [fibonacci_trace_mod_p(64)] * (dist_B + dist_B // 2)
+    bproofs = BatchStarkProver(
+        FibonacciAir(), bcfg, dist_B, mesh=mesh
+    ).prove_many(btraces, depth=2)
+    out["batch_n"] = len(bproofs)
+    out["batch_sha"] = hashlib.sha256(b"".join(bproofs)).hexdigest()
+
 print(json.dumps(out))
 sys.stdout.flush()

@@ -128,7 +128,11 @@ def test_two_process_four_devices_sharded_prover():
     2*128*D floor) with graphs warm from the in-process D=8 tests."""
     import hashlib
 
-    outs = _run_workers(2, devices_per_proc=4, extra_env={"STARK_DIST_T": "512"})
+    outs = _run_workers(
+        2,
+        devices_per_proc=4,
+        extra_env={"STARK_DIST_T": "512", "STARK_DIST_BATCH": "8"},
+    )
     assert outs[0] == outs[1]
     assert "dist_proof_sha" in outs[0]
 
@@ -138,3 +142,11 @@ def test_two_process_four_devices_sharded_prover():
     cfg = StarkConfig(trace_length=512, blowup=4, num_colinearity_tests=8)
     proof = StarkProver(FibonacciAir(), cfg).prove(fibonacci_trace_mod_p(512))
     assert outs[0]["dist_proof_sha"] == hashlib.sha256(proof).hexdigest()
+
+    # Cross-process batch-sharded serving: prove_many (B=8 over the 2x4
+    # global mesh, padded partial chunk, depth-2 pipeline) emitted 12
+    # proofs byte-identical to the single-device prover's.
+    bcfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=16)
+    want = StarkProver(FibonacciAir(), bcfg).prove(fibonacci_trace_mod_p(64))
+    assert outs[0]["batch_n"] == 12
+    assert outs[0]["batch_sha"] == hashlib.sha256(want * 12).hexdigest()
