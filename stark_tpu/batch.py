@@ -338,14 +338,19 @@ def _batch_mega_fn(key, compose_vm):
         tpre, tstack, troots = _forest_light_build(tleaf, B, N)
 
         # -- constraint challenges (per-proof transcript chains) ---------
-        transcripts = troots  # (B, 32)
+        # Incremental sponge (byte-order: chunk-major (L, B) stacking),
+        # byte-identical to re-hashing each growing transcript
+        # (hash_batch.sponge_* docstring).
+        sp_state, sp_pending = HB.sponge_from_bytes(troots.T)  # (32, B)
         digs, chals = [], []
         for _ in range(2 * n_terms):
-            st = HB.transcript_state_core(transcripts, rolled=True)
-            digest8 = jnp.stack([st[j] for j in range(8)], axis=1)  # (B,8)
-            digs.append(digest8)
-            chals.append(HB.state_alpha(st))                        # (B,)
-            transcripts = jnp.concatenate([transcripts, digest8], axis=1)
+            stf = HB.sponge_state(sp_state, sp_pending)        # (32, B)
+            digest8 = stf[:8]                                  # (8, B)
+            digs.append(digest8.T)                             # (B, 8)
+            chals.append(HB.state_alpha(stf))                  # (B,)
+            sp_state, sp_pending = HB.sponge_absorb(
+                sp_state, sp_pending, digest8
+            )
         digs = jnp.stack(digs, axis=1)          # (B, 2*n_terms, 8)
         ch = jnp.stack(chals, axis=1)           # (B, 2*n_terms)
         alphas_c, betas_c = ch[:, 0::2], ch[:, 1::2]
@@ -364,11 +369,13 @@ def _batch_mega_fn(key, compose_vm):
             pre, stack, rts = _forest_light_build(leaf, B, w)
             forests.append((pre, stack, w))
             roots.append(rts)
-            transcripts = jnp.concatenate([transcripts, rts], axis=1)
+            sp_state, sp_pending = HB.sponge_absorb(
+                sp_state, sp_pending, rts.T
+            )
             cws.append(codeword)
             if r == rounds - 1:
                 break
-            alpha = HB.transcript_alpha_core(transcripts, rolled=True)
+            alpha = HB.state_alpha(HB.sponge_state(sp_state, sp_pending))
             alphas.append(alpha)
             half = w // 2
             a, b_ = codeword[:, :half], codeword[:, half:]
@@ -381,9 +388,9 @@ def _batch_mega_fn(key, compose_vm):
             w = half
 
         # -- per-proof index sampling ------------------------------------
-        st = HB.transcript_state_core(transcripts, rolled=True)
+        stf = HB.sponge_state(sp_state, sp_pending)
         seed = HB._init_stacked((B,))
-        seed = HB._absorb_stacked(seed, jnp.stack(st[:8], axis=0))
+        seed = HB._absorb_stacked(seed, stf[:8])
         seed = HB._mix_stacked_loop(seed, 1 + 8)  # (32, B)
         indices, count = _sample_indices_batched(
             seed, B, M, size, reduced_size, number
@@ -494,38 +501,32 @@ def _sample_indices_batched(seed_stacked, B, M, size, reduced_size, number):
 
 
 @functools.lru_cache(maxsize=None)
-def _batch_round_fn(B: int, W: int, L: int):
+def _batch_round_fn(B: int, W: int, q: int):
     """ONE dispatch for a whole batched commit round: forest (leaf hash +
-    every level) + per-proof roots + transcript append + challenges +
-    folds — the batched analogue of fri._commit_round_fn."""
+    every level) + per-proof roots + incremental root absorb +
+    challenges + folds — the batched analogue of fri._commit_round_fn."""
     half = W // 2
 
-    def fn(codeword, transcripts, inv_x_mont, inv2_w, inv2_ws):
+    def fn(codeword, sp_state, sp_pending, inv_x_mont, inv2_w, inv2_ws):
         leaf = HB.leaf_hash_rows_core(
             codeword.reshape(B * W // LANE, LANE), rolled=True
         )
         tail = HB.forest_tail_levels_core(leaf, B, W)
         roots = jnp.stack([r.reshape(B) for r in tail[-1]], axis=1)
-        new_t = jnp.concatenate([transcripts, roots], axis=1)
-        alpha = HB.transcript_alpha_core(new_t, rolled=True)  # (B,)
+        sp_state, sp_pending = HB.sponge_absorb(
+            sp_state, sp_pending, roots.T
+        )
+        alpha = HB.state_alpha(
+            HB.sponge_state(sp_state, sp_pending)
+        )  # (B,)
         a, b = codeword[:, :half], codeword[:, half:]
         s = F.addmod(a, b)
         d = F.submod(a, b)
         t = F.mont_mul(inv_x_mont, alpha[:, None])
         folded = F.shoup_mul(F.addmod(s, F.mulmod(t, d)), inv2_w, inv2_ws)
-        return leaf, tail, roots, new_t, alpha, folded
+        return leaf, tail, roots, sp_state, sp_pending, alpha, folded
 
     return jax.jit(fn)
-
-
-# ---------------------------------------------------------------------------
-# Batched transcript challenges.
-# ---------------------------------------------------------------------------
-
-def _batched_alpha_fn(B: int, length: int):
-    """(B, length) u8 transcripts -> (B,) alpha mod p (the shared
-    device Fiat-Shamir challenge kernel, ops/hash_batch)."""
-    return HB._transcript_alpha_fn(length, B)
 
 
 # ---------------------------------------------------------------------------
@@ -943,6 +944,7 @@ class BatchStarkProver:
         transcripts = jnp.asarray(
             np.frombuffer(b"".join(prefixes), dtype=np.uint8).reshape(B, -1)
         )
+        sp_state, sp_pending = HB.device_sponge_from_bytes(transcripts.T)
         forests, codewords, root_devs, alpha_devs = [], [], [], []
         n = d.N
         for r in range(rounds):
@@ -954,10 +956,11 @@ class BatchStarkProver:
                 and B * n <= _FOREST_FUSE_CAP
             ):
                 # Whole round fused into one dispatch.
-                leaf, tail, roots, transcripts, alpha_red, folded = (
-                    _batch_round_fn(B, n, int(transcripts.shape[1]))(
+                leaf, tail, roots, sp_state, sp_pending, alpha_red, folded = (
+                    _batch_round_fn(B, n, int(sp_pending.shape[0]))(
                         codeword,
-                        transcripts,
+                        sp_state,
+                        sp_pending,
                         fri._plan.inv_x_mont(r),
                         jnp.uint32(_INV2),
                         jnp.uint32(_INV2_SHOUP),
@@ -979,11 +982,10 @@ class BatchStarkProver:
             forests.append(forest)
             roots = forest.root_bytes_dev()
             root_devs.append(roots)
-            transcripts = jnp.concatenate([transcripts, roots], axis=1)
             if r == rounds - 1:
                 break
-            alpha_red = _batched_alpha_fn(B, int(transcripts.shape[1]))(
-                transcripts
+            alpha_red, sp_state, sp_pending = HB.device_sponge_root_alpha(
+                sp_state, sp_pending, roots.T
             )
             alpha_devs.append(alpha_red)
             codewords.append(codeword)

@@ -95,19 +95,19 @@ def _fold_kernel_dynamic(a, b, inv_x_mont, alpha_red, inv2_w, inv2_ws):
 
 
 @functools.lru_cache(maxsize=None)
-def _commit_round_fn(W: int, L: int):
+def _commit_round_fn(W: int, q: int):
     """ONE dispatch for a full device-chain commit round at codeword width
-    ``W`` (<= hash_batch.FUSE_MAX_WIDTH) with transcript length ``L``:
-    leaf hash + every Merkle level + root append + challenge (mod p) +
-    fold.  Dispatch latency through the relay (~1.3 ms/call) dominates
-    this round's compute, so fusing the round is worth ~4x per round over
-    separate tree/concat/alpha/fold calls (fri.rs:116-147 is the per-round
-    contract being fused)."""
+    ``W`` (<= hash_batch.FUSE_MAX_WIDTH) with a ``q``-byte sponge tail:
+    leaf hash + every Merkle level + root absorb (incremental sponge) +
+    challenge (mod p) + fold.  Dispatch latency through the relay
+    (~1.3 ms/call) dominates this round's compute, so fusing the round is
+    worth ~4x per round over separate tree/concat/alpha/fold calls
+    (fri.rs:116-147 is the per-round contract being fused)."""
     from stark_tpu.ops import hash_batch as HB
 
     half = W // 2
 
-    def fn(codeword, transcript, inv_x_mont, inv2_w, inv2_ws):
+    def fn(codeword, sp_state, sp_pending, inv_x_mont, inv2_w, inv2_ws):
         v2d = (
             codeword.reshape(W // HB.LANE, HB.LANE)
             if W >= 2 * HB.LANE
@@ -115,13 +115,13 @@ def _commit_round_fn(W: int, L: int):
         )
         leaf = HB.leaf_hash_rows_core(v2d, rolled=True)
         levels, root, stack = HB._tail_levels_core(leaf)
-        new_t = jnp.concatenate([transcript, root])
-        alpha_red = HB.transcript_alpha_core(new_t[None, :], rolled=True)[0]
+        sp_state, sp_pending = HB.sponge_absorb(sp_state, sp_pending, root)
+        alpha_red = HB.state_alpha(HB.sponge_state(sp_state, sp_pending))
         s = F.addmod(codeword[:half], codeword[half:])
         d = F.submod(codeword[:half], codeword[half:])
         t = F.mont_mul(inv_x_mont, alpha_red)
         folded = F.shoup_mul(F.addmod(s, F.mulmod(t, d)), inv2_w, inv2_ws)
-        return leaf, levels, root, new_t, alpha_red, folded, stack
+        return leaf, levels, root, sp_state, sp_pending, alpha_red, folded, stack
 
     return jax.jit(fn)
 
@@ -179,7 +179,7 @@ def _mega_prove_fn(key, extra_key, extra_gather):
 
     (
         widths,          # chain-round codeword lengths (<= FUSE_MAX_WIDTH)
-        L0,              # device transcript length at chain entry
+        _q0,             # sponge pending-tail length at chain entry
         number,
         size,
         reduced_size,
@@ -194,7 +194,7 @@ def _mega_prove_fn(key, extra_key, extra_gather):
 
     def fn(
         codeword,
-        transcript,
+        sponge,          # (state, pending) — incremental transcript sponge
         inv_x_list,
         wide_cws,
         wide_tree_ops,
@@ -208,6 +208,11 @@ def _mega_prove_fn(key, extra_key, extra_gather):
         inv2_ws,
     ):
         # -- chain rounds (commit + fold) --------------------------------
+        # Incremental transcript sponge (continued from the caller's wide
+        # rounds): each round folds its 32-byte root and finalizes from
+        # the cached state — byte-identical to re-hashing the whole
+        # transcript per round (hash_batch.sponge_* docstring).
+        sp_state, sp_pending = sponge
         roots = list(wide_roots)
         alphas = list(wide_alphas)
         cws = list(wide_cws)
@@ -229,13 +234,13 @@ def _mega_prove_fn(key, extra_key, extra_gather):
             tree_ops.append(((leaf,), stack))
             n_paths.append(W.bit_length() - 1)
             roots.append(root)
-            transcript = jnp.concatenate([transcript, root])
+            sp_state, sp_pending = HB.sponge_absorb(sp_state, sp_pending, root)
             cws.append(codeword)
             if r == len(widths) - 1:
                 break
-            alpha_red = HB.transcript_alpha_core(
-                transcript[None, :], rolled=True
-            )[0]
+            alpha_red = HB.state_alpha(
+                HB.sponge_state(sp_state, sp_pending)
+            )
             alphas.append(alpha_red)
             half = W // 2
             s = F.addmod(codeword[:half], codeword[half:])
@@ -246,7 +251,9 @@ def _mega_prove_fn(key, extra_key, extra_gather):
             )
 
         # -- index sampling (device; host replays byte-exactly) ----------
-        seed = HB.seed_digest_rows_core(transcript)
+        seed = HB.seed_digest_rows_from_state(
+            HB.sponge_state(sp_state, sp_pending)
+        )
         indices, count = HB.sample_indices_core(
             seed, M, size, reduced_size, number
         )
@@ -532,15 +539,16 @@ class Fri:
         Two phases: while codewords are device-tree sized, the whole
         round loop (tree -> root -> challenge -> fold) runs as a device
         dependency chain with NO host round-trips — the challenge hash runs
-        on device (ops/hash_batch.device_transcript_alpha) and folds take
+        on device (ops/hash_batch.device_sponge_root_alpha) and folds take
         the traced alpha.  The host then fetches all roots at once, replays
         the transcript byte-exactly (asserting the device alphas agree),
         and finishes any narrow rounds classically.
 
         ``transcript_dev_prefix`` extends the chain UPSTREAM: a device (L,)
-        u8 transcript (e.g. the STARK layer's trace root + constraint
-        challenge bytes, never yet fetched) seeds the chain instead of the
-        host transcript; ``prefix_replay(fetched_extras)`` then rebuilds
+        u8 transcript OR an incremental sponge ``(state, pending)`` pair
+        (e.g. the STARK layer's trace root + constraint challenge bytes,
+        never yet fetched) seeds the chain instead of the host
+        transcript; ``prefix_replay(fetched_extras)`` then rebuilds
         the host-side prefix (pushing its stream objects and absorbing
         into ``fiat_shamir``) from ``extra_fetch``'s arrays, which ride the
         same batched root fetch."""
@@ -558,17 +566,28 @@ class Fri:
             # Seed with whatever the host transcript already holds (e.g.
             # the STARK layer's trace root + constraint-challenge bytes) —
             # challenges hash the ENTIRE transcript (fiat_shamir.rs:19-25).
+            # Incremental sponge over the device transcript: absorb the
+            # prefix once; each round folds its 32-byte root and draws
+            # the challenge from the cached state — byte-identical to
+            # re-hashing the whole transcript (hash_batch.sponge_*).
             prefix = bytes(fiat_shamir.transcript)
             if transcript_dev_prefix is not None:
                 assert not prefix, (
                     "device transcript prefix and host prefix are exclusive"
                 )
-                transcript_dev = transcript_dev_prefix
+                if isinstance(transcript_dev_prefix, tuple):
+                    sp_state, sp_pending = transcript_dev_prefix
+                else:
+                    sp_state, sp_pending = HB.device_sponge_from_bytes(
+                        transcript_dev_prefix
+                    )
             else:
-                transcript_dev = jnp.asarray(
-                    np.frombuffer(prefix, dtype=np.uint8)
-                    if prefix
-                    else np.zeros((0,), dtype=np.uint8)
+                sp_state, sp_pending = HB.device_sponge_from_bytes(
+                    jnp.asarray(
+                        np.frombuffer(prefix, dtype=np.uint8)
+                        if prefix
+                        else np.zeros((0,), dtype=np.uint8)
+                    )
                 )
             root_devs: list = []
             alpha_devs: list = []
@@ -582,11 +601,12 @@ class Fri:
                     # Whole round (tree + root + challenge + fold) fused
                     # into one dispatch.  The PRE-fold codeword is what the
                     # round records (fri.rs:140).
-                    leaf, levels, root_bytes, transcript_dev, alpha_red, folded, stack = _commit_round_fn(
-                        W, int(transcript_dev.shape[0])
+                    leaf, levels, root_bytes, sp_state, sp_pending, alpha_red, folded, stack = _commit_round_fn(
+                        W, int(sp_pending.shape[0])
                     )(
                         codeword,
-                        transcript_dev,
+                        sp_state,
+                        sp_pending,
                         self._plan.inv_x_mont(r),
                         jnp.uint32(_INV2),
                         jnp.uint32(_INV2_SHOUP),
@@ -607,12 +627,15 @@ class Fri:
                     break
                 root_bytes = tree.root_bytes_dev()
                 root_devs.append(root_bytes)
-                transcript_dev = jnp.concatenate([transcript_dev, root_bytes])
                 if r == rounds - 1:
                     last_tree = tree
                     r += 1
                     break
-                alpha_red = HB.device_transcript_alpha(transcript_dev)
+                alpha_red, sp_state, sp_pending = (
+                    HB.device_sponge_root_alpha(
+                        sp_state, sp_pending, root_bytes
+                    )
+                )
                 alpha_devs.append(alpha_red)
                 codewords.append(codeword)
                 trees.append(tree)
@@ -739,17 +762,31 @@ class Fri:
         codeword = jnp.asarray(initial_codeword, dtype=jnp.uint32)
 
         with timer.phase("fri_commit"):
+            # Incremental sponge: prefix absorbed once, each round folds
+            # its root and draws the alpha from the cached state; the
+            # mega continues from (state, pending) — byte-identical to
+            # full re-hashes (hash_batch.sponge_*), O(1) per round, one
+            # compiled alpha graph for every round.
             prefix = bytes(fiat_shamir.transcript)
             if transcript_dev_prefix is not None:
                 assert not prefix, (
                     "device transcript prefix and host prefix are exclusive"
                 )
-                transcript_dev = transcript_dev_prefix
+                if isinstance(transcript_dev_prefix, tuple):
+                    # Upstream already carries the sponge (the STARK
+                    # layer's challenge chain ends with it).
+                    sp_state, sp_pending = transcript_dev_prefix
+                else:
+                    sp_state, sp_pending = HB.device_sponge_from_bytes(
+                        transcript_dev_prefix
+                    )
             else:
-                transcript_dev = jnp.asarray(
-                    np.frombuffer(prefix, dtype=np.uint8)
-                    if prefix
-                    else np.zeros((0,), dtype=np.uint8)
+                sp_state, sp_pending = HB.device_sponge_from_bytes(
+                    jnp.asarray(
+                        np.frombuffer(prefix, dtype=np.uint8)
+                        if prefix
+                        else np.zeros((0,), dtype=np.uint8)
+                    )
                 )
             codewords: list = []
             trees: list = []
@@ -766,8 +803,11 @@ class Fri:
                 tree = self.build_tree_full_device(codeword)
                 root_bytes = tree.root_bytes_dev()
                 root_devs.append(root_bytes)
-                transcript_dev = jnp.concatenate([transcript_dev, root_bytes])
-                alpha_red = HB.device_transcript_alpha(transcript_dev)
+                alpha_red, sp_state, sp_pending = (
+                    HB.device_sponge_root_alpha(
+                        sp_state, sp_pending, root_bytes
+                    )
+                )
                 alpha_devs.append(alpha_red)
                 codewords.append(codeword)
                 trees.append(tree)
@@ -801,7 +841,7 @@ class Fri:
                 wide_n_paths.append(n_path)
             key = (
                 widths,
-                int(transcript_dev.shape[0]),
+                int(sp_pending.shape[0]),
                 number,
                 sample_size,
                 reduced_size,
@@ -822,7 +862,7 @@ class Fri:
             def run_mega(idx_override, use_override: bool):
                 return mega(
                     codeword,
-                    transcript_dev,
+                    (sp_state, sp_pending),
                     inv_x_list,
                     list(codewords),
                     wide_tree_ops,

@@ -221,7 +221,7 @@ class MerkleTree:
         """ALL levels (including the root) built and kept on device — no
         host synchronization at all.  Used by the device-chained FRI commit,
         which consumes the root digest on device (ops/hash_batch.
-        device_transcript_alpha) and fetches every round's root in one
+        device_sponge_root_alpha) and fetches every round's root in one
         batched transfer afterwards.  Widths in [256, FUSE_MAX_WIDTH] build
         leaf hash + every level in ONE dispatch; light trees as in
         :meth:`_finish_device`."""

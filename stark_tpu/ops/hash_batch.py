@@ -701,6 +701,64 @@ def transcript_state_core(transcripts, rolled: bool = False):
     return state
 
 
+# ---------------------------------------------------------------------------
+# Incremental transcript sponge.
+#
+# ``FiatShamir.challenge`` re-hashes the ENTIRE transcript on every draw
+# (fiat_shamir.rs:19-25 — the challenge is pure), which on the device
+# chain costs one sequential absorb+mix per 32-byte chunk PER DRAW: the
+# constraint-challenge chains and per-round FRI alphas re-absorb an
+# ever-growing prefix.  But the absorb state after all FULL chunks is a
+# pure function of the bytes so far: cache it, keep the <32-byte tail as
+# ``pending``, and each draw only (a) partial-absorbs the pending tail and
+# runs the 8 final mixes, and (b) folds a completed chunk into the cached
+# state when pending crosses 32 bytes.  Chunk boundaries are identical to
+# hash.rs:13-27 (full 32-byte chunks, then ONE partial tail chunk), so the
+# digests are byte-identical to transcript_state_core — pinned by tests.
+#
+# All lengths are Python-static (each challenge appends exactly 8 bytes,
+# each Merkle root 32), so this traces to fixed shapes under jit.
+# ---------------------------------------------------------------------------
+
+
+def sponge_from_bytes(t):
+    """(L,) u8 device bytes -> (state, pending): the cached stacked state
+    after absorbing all full 32-byte chunks, plus the <32-byte tail."""
+    L = int(t.shape[0])
+    state = _init_stacked(t.shape[1:])
+    fc = L // 32
+    if fc > 1:
+        # chunk-major scan, same graph shape as transcript_state_core.
+        xs = t[: 32 * fc].reshape((fc, 32) + t.shape[1:])
+        state, _ = jax.lax.scan(
+            lambda st, x: (_mix_stacked(_absorb_stacked(st, x)), None),
+            state,
+            xs,
+        )
+    elif fc == 1:
+        state = _mix_stacked(_absorb_stacked(state, t[:32]))
+    return state, t[32 * fc :]
+
+
+def sponge_absorb(state, pending, rows):
+    """Append ``rows`` ((m,) u8, m static) to the sponge, folding any
+    completed 32-byte chunks into the cached state."""
+    pending = jnp.concatenate([pending, rows]) if pending.shape[0] else rows
+    while pending.shape[0] >= 32:
+        state = _mix_stacked(_absorb_stacked(state, pending[:32]))
+        pending = pending[32:]
+    return state, pending
+
+
+def sponge_state(state, pending):
+    """Finalized hash state of the absorbed bytes: partial-absorb the
+    pending tail (if any) + 8 final mixes.  Equals
+    transcript_state_core(bytes)[rolled] as a stacked (32, ...) array."""
+    if pending.shape[0]:
+        state = _mix_stacked(_absorb_stacked(state, pending))
+    return _mix_stacked_loop(state, 8)
+
+
 def state_alpha(state):
     """First 8 digest bytes as a field value mod p: equals the host's
     u64-LE challenge reduced mod p (fiat_shamir.rs:21-24 + ff.rs:138)."""
@@ -717,22 +775,41 @@ def state_alpha(state):
 
 
 def transcript_alpha_core(transcripts, rolled: bool = False):
-    """(B, length) u8 transcripts -> (B,) alpha mod p."""
+    """(B, length) u8 transcripts -> (B,) alpha mod p.  Whole-transcript
+    re-hash — the definitional twin the incremental sponge is tested
+    against; production challenge paths use sponge_*/state_alpha."""
     return state_alpha(transcript_state_core(transcripts, rolled=rolled))
 
 
 @functools.lru_cache(maxsize=None)
-def _transcript_alpha_fn(length: int, B: int = 1):
-    # Rolled: transcripts are tiny, but a new graph is traced per LENGTH
-    # (every FRI round grows it) — compile time is the only cost here.
-    return jax.jit(functools.partial(transcript_alpha_core, rolled=True))
+def _sponge_from_bytes_fn(length: int):
+    return jax.jit(sponge_from_bytes)
 
 
-def device_transcript_alpha(transcript):
-    """alpha mod p for a device (L,) u8 transcript (no host sync)."""
-    return _transcript_alpha_fn(int(transcript.shape[0]))(
-        transcript[None, :]
-    )[0]
+def device_sponge_from_bytes(t):
+    """(L,) u8 device transcript -> (state, pending) sponge, jitted per
+    length (one dispatch)."""
+    return _sponge_from_bytes_fn(int(t.shape[0]))(t)
+
+
+@functools.lru_cache(maxsize=None)
+def _sponge_root_alpha_fn(q: int):
+    def fn(state, pending, root):
+        state, pending = sponge_absorb(state, pending, root)
+        alpha = state_alpha(sponge_state(state, pending))
+        return alpha, state, pending
+    return jax.jit(fn)
+
+
+def device_sponge_root_alpha(state, pending, root):
+    """Absorb a 32-byte root and draw the challenge mod p from the
+    incremental sponge — the per-FRI-round twin of
+    device_transcript_alpha, O(1) in transcript length and ONE compiled
+    graph for every round (the pending tail length is invariant under
+    32-byte absorbs) instead of one per transcript length."""
+    return _sponge_root_alpha_fn(int(pending.shape[0]))(
+        state, pending, root
+    )
 
 
 def root_bytes_from_rows(rows):
@@ -761,8 +838,18 @@ def seed_digest_rows_core(transcript):
     directly — one partial chunk + mix + 8 final mixes (hash.rs:7-30).
     """
     st = transcript_state_core(transcript[None, :], rolled=True)
-    s = _init_stacked((1,))
-    s = _absorb_stacked(s, jnp.stack(st[:8], axis=0))
+    return seed_digest_rows_from_state(jnp.stack(st, axis=0))
+
+
+def seed_digest_rows_from_state(stf):
+    """Sampling-seed rows from an already-finalized transcript digest
+    state (stacked (32,) or (32, 1)); the incremental-sponge twin of
+    seed_digest_rows_core — same second hash over the digest's first 8
+    bytes."""
+    if stf.ndim == 1:
+        stf = stf[:, None]
+    s = _init_stacked(stf.shape[1:])
+    s = _absorb_stacked(s, stf[:8])
     s = _mix_stacked_loop(s, 1 + 8)
     return [s[i] for i in range(32)]
 

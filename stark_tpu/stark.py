@@ -173,15 +173,20 @@ def _device_challenges_fn(n_challenges: int, prefix_len: int):
     from stark_tpu.ops import hash_batch as HB
 
     def fn(prefix):
-        t = prefix
+        # Incremental sponge: each draw finalizes from the cached
+        # absorb state (partial tail + 8 final mixes) instead of
+        # re-absorbing the whole growing transcript — byte-identical
+        # chunking (hash_batch.sponge_* docstring), ~2x fewer
+        # sequential ops on this latency-bound chain.
+        state, pending = HB.sponge_from_bytes(prefix)
         digs, alphas = [], []
         for _ in range(n_challenges):
-            st = HB.transcript_state_core(t[None, :], rolled=True)
-            digest8 = jnp.stack([st[j][0] for j in range(8)])
+            stf = HB.sponge_state(state, pending)
+            digest8 = stf[:8]
             digs.append(digest8)
-            alphas.append(HB.state_alpha([row[0] for row in st]))
-            t = jnp.concatenate([t, digest8])
-        return jnp.stack(digs), jnp.stack(alphas), t
+            alphas.append(HB.state_alpha([stf[j] for j in range(8)]))
+            state, pending = HB.sponge_absorb(state, pending, digest8)
+        return jnp.stack(digs), jnp.stack(alphas), state, pending
 
     return jax.jit(fn)
 
@@ -387,9 +392,9 @@ class StarkProver:
         with timer.phase("challenges"):
             if chain_upstream:
                 troot_dev = trace_tree.root_bytes_dev()
-                digs_dev, ch_dev, transcript_dev = _device_challenges_fn(
-                    2 * n_terms, 32
-                )(troot_dev)
+                digs_dev, ch_dev, sp_state, sp_pending = (
+                    _device_challenges_fn(2 * n_terms, 32)(troot_dev)
+                )
                 alphas_c = ch_dev[0::2]
                 betas_c = ch_dev[1::2]
             else:
@@ -521,7 +526,9 @@ class StarkProver:
             extra_gather_key=extra_gather_key,
             extra_meta=_open_cols_idx,
             extra_emit=_open_emit,
-            transcript_dev_prefix=transcript_dev if chain_upstream else None,
+            transcript_dev_prefix=(
+                (sp_state, sp_pending) if chain_upstream else None
+            ),
             extra_fetch=[troot_dev, digs_dev] if chain_upstream else None,
             prefix_replay=_prefix_replay if chain_upstream else None,
         )

@@ -178,3 +178,62 @@ class TestBatchedHash:
         )
         np.testing.assert_array_equal(got_dev, want)
         np.testing.assert_array_equal(got_np, want)
+
+
+class TestIncrementalSponge:
+    """The incremental transcript sponge (hash_batch.sponge_*) must be
+    byte-identical to re-hashing the whole transcript from scratch
+    (transcript_state_core / the scalar FiatShamir) at every length and
+    absorb pattern the provers use — it carries every device challenge."""
+
+    def test_sponge_matches_full_rehash_all_tail_lengths(self):
+        for L in [1, 8, 16, 24, 31, 32, 33, 40, 64, 96, 112, 288, 289]:
+            t = RNG.integers(0, 256, size=L, dtype=np.uint8)
+            td = jnp.asarray(t)
+            ref = np.stack(
+                [
+                    np.asarray(r)[0]
+                    for r in HB.transcript_state_core(
+                        td[None, :], rolled=True
+                    )
+                ]
+            )
+            st, pend = HB.sponge_from_bytes(td)
+            got = np.asarray(HB.sponge_state(st, pend))
+            np.testing.assert_array_equal(got, ref, err_msg=f"L={L}")
+
+    def test_incremental_absorb_chain_matches_scalar_challenges(self):
+        """Replay the prover's draw-absorb-draw pattern (8-byte digests,
+        32-byte roots) against the scalar FiatShamir transcript."""
+        from stark_tpu.field import FiniteField
+        from stark_tpu.transcript import FiatShamir
+
+        field = FiniteField()
+        fs = FiatShamir()
+        root = RNG.integers(0, 256, size=32, dtype=np.uint8)
+        fs.absorb(root.tobytes())
+        st, pend = HB.sponge_from_bytes(jnp.asarray(root))
+        for step in range(6):
+            a_host = fs.challenge(field).value % (2**64)
+            stf = HB.sponge_state(st, pend)
+            d8 = np.asarray(stf[:8]).tobytes()
+            assert d8 == (a_host).to_bytes(8, "little"), step
+            # alternate absorbing the digest (challenge chain) and a
+            # fresh 32-byte root (FRI round) — both absorb paths.
+            if step % 2 == 0:
+                fs.absorb(d8)
+                st, pend = HB.sponge_absorb(st, pend, stf[:8])
+            else:
+                r2 = RNG.integers(0, 256, size=32, dtype=np.uint8)
+                fs.absorb(r2.tobytes())
+                st, pend = HB.sponge_absorb(st, pend, jnp.asarray(r2))
+
+    def test_batched_sponge_matches_per_proof(self):
+        B, L = 3, 72
+        ts = RNG.integers(0, 256, size=(B, L), dtype=np.uint8)
+        st, pend = HB.sponge_from_bytes(jnp.asarray(ts.T))
+        alphas = np.asarray(HB.state_alpha(HB.sponge_state(st, pend)))
+        want = np.asarray(
+            HB.transcript_alpha_core(jnp.asarray(ts), rolled=True)
+        )
+        np.testing.assert_array_equal(alphas, want)
