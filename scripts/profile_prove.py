@@ -50,23 +50,39 @@ def summarize(outdir: str, top: int = 20) -> None:
 def main() -> None:
     lg = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stark_trace"
+    model = sys.argv[3] if len(sys.argv) > 3 else "fib"
     T = 1 << lg
 
     import jax
 
     from stark_tpu import StarkConfig, StarkProver
-    from stark_tpu.models.fibonacci import FibonacciAir, fibonacci_trace_mod_p
+    from stark_tpu.models import get_model
     from stark_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     print("backend:", jax.default_backend(), jax.devices()[0])
-    cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=16)
-    prover = StarkProver(FibonacciAir(), cfg)
-    trace = fibonacci_trace_mod_p(T)
-    prover.prove(trace)  # compile + warm
+    air, trace_fn, min_blowup = get_model(model)
+    cfg = StarkConfig(
+        trace_length=T,
+        blowup=max(4, min_blowup),
+        num_colinearity_tests=16,
+    )
+    prover = StarkProver(air, cfg)
+    # Same device-witness routing as scripts/e2e_large.py.
+    if model == "fib":
+        from stark_tpu.models.fibonacci import fibonacci_trace_cols_device
+
+        kw = {"trace_cols": fibonacci_trace_cols_device(T).block_until_ready()}
+    elif model == "mds":
+        from stark_tpu.models.examples import mds_square_trace_cols_device
+
+        kw = {"trace_cols": mds_square_trace_cols_device(T).block_until_ready()}
+    else:
+        kw = {"trace_rows": trace_fn(T)}
+    prover.prove(**kw)  # compile + warm
 
     with jax.profiler.trace(outdir):
-        prover.prove(trace)
+        prover.prove(**kw)
     print("trace written to", outdir)
     summarize(outdir)
 
