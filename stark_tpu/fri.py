@@ -882,12 +882,20 @@ class Fri:
             # Cached per structure: the eval_shape trace of the extra
             # gather costs tens of ms per call otherwise.
             ef_leaves = jax.tree.leaves(extra_fetch or [])
+            # The spec depends on eval_shape(extra_gather, ..., operands):
+            # pin the OPERAND leaf shapes too, not just extra_fetch's —
+            # same gather key with different-width operands yields a
+            # different packed layout (round-4 cache-collision bug).
+            eo_leaves = jax.tree.leaves(
+                extra_operands if extra_operands is not None else []
+            )
             spec_key = (
                 "spec",
                 key,
                 extra_gather_key,
                 jax.tree.structure(extra_fetch or []),
                 tuple((l.shape, str(l.dtype)) for l in ef_leaves),
+                tuple((l.shape, str(l.dtype)) for l in eo_leaves),
             )
             spec = _MEGA_CACHE.get(spec_key)
             if spec is None:

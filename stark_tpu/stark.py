@@ -466,7 +466,17 @@ class StarkProver:
         # Traceable gather + operands + stable key for the single-fetch
         # chained prove (fri._mega_prove_fn runs the gather inline so the
         # trace openings ride the one packed fetch).
-        shape_key = (d.N, cfg.blowup, tuple(self.air.frame_offsets))
+        # NOTE: the trace width (num_registers) MUST be in the key — two
+        # AIRs with identical (N, blowup, offsets) but different widths
+        # produce different-shaped gather outputs, and the host unpack
+        # spec cached under this key would otherwise collide (round-4
+        # regression: fib2 c=2 then square c=1 crashed _unpack_u8).
+        shape_key = (
+            d.N,
+            cfg.blowup,
+            tuple(self.air.frame_offsets),
+            self.air.num_registers,
+        )
         if trace_tree._top_levels is None:
             ops_t, n_path = trace_tree.gather_operands()
             extra_operands = (trace_lde_dev, ops_t[0], ops_t[1])

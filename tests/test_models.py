@@ -123,3 +123,29 @@ def test_trace_out_of_bounds_matches_reference_option():
     assert t.get(-1, 0) is None
     assert t.get(0, -1) is None
     assert t.get(0, 1) is None
+
+
+def test_mixed_width_airs_same_shape_both_orders():
+    """Regression (round-4): the mega-prove host unpack spec was cached
+    without the trace width, so two AIRs with identical (N, blowup,
+    frame_offsets, k) but different register counts collided — the second
+    prover crashed in _unpack_u8.  Prove wide-then-narrow AND
+    narrow-then-wide in one process; every proof must round-trip and be
+    byte-identical to itself regardless of what proved before it."""
+    cfg = StarkConfig(trace_length=64, blowup=4, num_colinearity_tests=4)
+
+    def prove(air_cls, tracer):
+        air = air_cls()
+        proof = StarkProver(air, cfg).prove(tracer(64))
+        assert StarkVerifier(air, cfg).verify(proof)
+        return proof
+
+    # Wide (c=2) first, then narrow (c=1): the original crash ordering.
+    a_wide = prove(TwoRegisterFibonacciAir, two_register_fibonacci_trace)
+    a_narrow = prove(SquareAir, square_trace)
+    # Reverse order in the same process: caches are now warm for both
+    # widths; bytes must match the first pass exactly.
+    b_narrow = prove(SquareAir, square_trace)
+    b_wide = prove(TwoRegisterFibonacciAir, two_register_fibonacci_trace)
+    assert a_wide == b_wide
+    assert a_narrow == b_narrow
