@@ -162,17 +162,23 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _device_challenges_fn(n_challenges: int, prefix_len: int):
+def _device_challenges_fn(n_challenges: int):
     """ONE dispatch deriving all constraint-combination challenges on
     device from a device transcript prefix (the trace root): for each
     challenge, the digest's first 8 bytes extend the transcript (the raw
     u64 the host absorbs, transcript.py/_draw_constraint_challenges) and
     its mod-p reduction feeds the composition kernel.  Returns
-    (digests (k, 8) u8, alphas (k,) u32 mod p, transcript (prefix+8k,) u8).
+    (digests (k, 8) u8, alphas (k,) u32 mod p, sponge state + pending).
+
+    The prefix length is NOT a parameter: jit retraces per prefix shape,
+    and the sponge chunking (sponge_from_bytes) is length-generic — a
+    second upstream absorb changing the prefix length is handled by the
+    retrace, not by a hand-maintained constant.
     """
     from stark_tpu.ops import hash_batch as HB
 
     def fn(prefix):
+        assert prefix.ndim == 1 and prefix.dtype == jnp.uint8, prefix
         # Incremental sponge: each draw finalizes from the cached
         # absorb state (partial tail + 8 final mixes) instead of
         # re-absorbing the whole growing transcript — byte-identical
@@ -393,7 +399,7 @@ class StarkProver:
             if chain_upstream:
                 troot_dev = trace_tree.root_bytes_dev()
                 digs_dev, ch_dev, sp_state, sp_pending = (
-                    _device_challenges_fn(2 * n_terms, 32)(troot_dev)
+                    _device_challenges_fn(2 * n_terms)(troot_dev)
                 )
                 alphas_c = ch_dev[0::2]
                 betas_c = ch_dev[1::2]

@@ -186,3 +186,37 @@ def test_batch_mesh_mega_batch_sharded():
     # (12 = B + padded partial) must produce the same bytes.
     many = bp.prove_many(traces + traces[:4], depth=2)
     assert len(many) == 12 and all(m == want for m in many)
+
+
+def test_batch_mixed_width_airs_same_shape():
+    """Companion to test_models.test_mixed_width_airs_same_shape_both_orders
+    (round-4 spec cache-key collision): two BatchStarkProvers with
+    different trace widths but identical (T, blowup, k) in one process,
+    BOTH orders, each byte-identical to single-prover runs.  batch.py's
+    cache key carries (air qualname, c) so this pins that it stays so."""
+    from stark_tpu.models.examples import (
+        SquareAir,
+        TwoRegisterFibonacciAir,
+        square_trace,
+        two_register_fibonacci_trace,
+    )
+
+    B, T = 4, 64
+    cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=4)
+
+    def run(air_cls, tracer):
+        air = air_cls()
+        traces = [tracer(T)] * B
+        batch = BatchStarkProver(air, cfg, B).prove_batch(traces)
+        single = StarkProver(air, cfg).prove(traces[0])
+        for b in range(B):
+            assert batch[b] == single
+        # prove_many shares the same caches; must agree too.
+        many = BatchStarkProver(air, cfg, B).prove_many(traces, depth=2)
+        assert all(p == single for p in many)
+        return batch[0]
+
+    a_wide = run(TwoRegisterFibonacciAir, two_register_fibonacci_trace)
+    a_narrow = run(SquareAir, square_trace)
+    assert run(SquareAir, square_trace) == a_narrow
+    assert run(TwoRegisterFibonacciAir, two_register_fibonacci_trace) == a_wide
