@@ -197,36 +197,99 @@ def _mds_expand_fn(block: int):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def _mds_device_trace_fn(block: int, nb: int):
+    """ONE jit generating the whole (8, nb*block) MDS trace from the
+    8-word initial state: a length-``nb`` lax.scan walks the seed chain
+    (each scan step = ``block`` unrolled f-applications on ONE lane —
+    the recurrence is nonlinear, so this sequential depth is
+    irreducible; unrolling keeps the scan trip count at T/block), then
+    every block re-expands in parallel across nb lanes (the same
+    ``block``-step scan as _mds_expand_fn).  The host ships 32 bytes.
+
+    MEASURED NEGATIVE (TPU v5e, T=2^16): 0.66 s steady — the 1-lane
+    dependent chain is latency-bound on the VPU (~10 us/step through
+    ~10 sequential modular ops), 2x SLOWER than the 0.34 s host numpy
+    walk it replaces.  Kept as the zero-host-compute option (and the
+    fallback when the native engine is absent); the production default
+    routes the sequential chain to the C scalar engine instead
+    (native.mds_seed_walk, ~5 ms) — see mds_square_trace_cols_device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stark_tpu.ops import fieldops as F
+
+    m_cols = jnp.asarray(_MDS, dtype=jnp.uint32)     # (i, j)
+    rc_c = jnp.asarray(_RC, dtype=jnp.uint32)
+
+    def f_one(s):  # (8,) -> (8,): s' = (M s)^2 + rc
+        acc = None
+        for j in range(_MDS_W):
+            t = F.mulmod(s[j], m_cols[:, j])
+            acc = t if acc is None else F.addmod(acc, t)
+        return F.addmod(F.mulmod(acc, acc), rc_c)
+
+    def seed_step(s, _):
+        out = s
+        for _ in range(block):
+            s = f_one(s)
+        return s, out
+
+    def expand_step(s, _):  # (nb, 8) lanes in parallel
+        acc = None
+        for j in range(_MDS_W):
+            t = F.mulmod(s[:, j][:, None], m_cols[:, j][None, :])
+            acc = t if acc is None else F.addmod(acc, t)
+        nxt = F.addmod(F.mulmod(acc, acc), rc_c[None, :])
+        return nxt, s
+
+    def fn(s0):  # (8,) initial state
+        _, seeds = jax.lax.scan(seed_step, s0, None, length=nb)
+        _, states = jax.lax.scan(expand_step, seeds, None, length=block)
+        # states: (block, nb, 8); row t = b*block + k is states[k, b]
+        rows = jnp.transpose(states, (1, 0, 2)).reshape(-1, _MDS_W)
+        return rows.T  # (8, nb*block)
+
+    return jax.jit(fn)
+
+
 def mds_square_trace_cols_device(length: int, block: int = 64):
     """(8, length) uint32 DEVICE trace columns, elementwise equal to
-    ``mds_square_trace(length).T`` — uploading only every ``block``-th
-    state.
+    ``mds_square_trace(length).T`` — no host numpy chain walk, no bulk
+    witness upload.
 
     Unlike Fibonacci (linear recurrence, closed-form block seeds —
     fibonacci.fibonacci_trace_cols_device), s' = (M s)^2 + rc is
-    nonlinear, so the chain is inherently sequential and the host must
-    walk all T steps either way.  What CAN be saved is the witness
-    upload: a T=2^16 c=8 trace is 2 MB (~60 ms at this deployment's
-    relay ~30 MB/s); shipping only the T/block block-start states cuts
-    that by ``block``x, and the device re-expands each block in parallel
-    (a ``block``-step scan over T/block lanes of 8x8 modular matvecs,
-    negligible next to the transfer it replaces).  Feed the result to
-    ``StarkProver.prove(trace_cols=...)``."""
+    nonlinear: the T-step sequential depth is irreducible, which makes
+    the seed chain SCALAR-ENGINE work, not MXU/VPU work.  The split
+    that is speed-of-light on this hardware (trace.rs:36-49's
+    witness-generation contract):
+
+    - seed chain: native C walk (native.mds_seed_walk, ~5 ms at T=2^16
+      vs 0.34 s numpy vs 0.66 s as a 1-lane device scan — both
+      measured), shipping only the (T/block, 8) block starts (32 KB at
+      block=64, ~1 ms relay);
+    - expansion: all T/block blocks re-expand in PARALLEL on device
+      (a block-step scan over T/block lanes of 8x8 modular matvecs).
+
+    Without the native engine, falls back to the pure-device scan
+    (_mds_device_trace_fn — slower but zero host compute).  Feed the
+    result to ``StarkProver.prove(trace_cols=...)``."""
     import numpy as np
     import jax.numpy as jnp
+
+    from stark_tpu import native
 
     assert length >= 1
     block = max(1, min(block, length))
     nb = (length + block - 1) // block
 
-    seeds = np.empty((nb, _MDS_W), dtype=np.uint32)
-    s = np.arange(1, _MDS_W + 1, dtype=np.uint64)
-    m = np.array(_MDS, dtype=np.uint64)
-    rc = np.array(_RC, dtype=np.uint64)
-    for t in range(nb * block):
-        if t % block == 0:
-            seeds[t // block] = s
-        mixed = (m @ s) % P
-        s = (mixed * mixed % P + rc) % P
+    if not native.AVAILABLE:
+        s0 = jnp.asarray(np.arange(1, _MDS_W + 1, dtype=np.uint32))
+        return _mds_device_trace_fn(block, nb)(s0)[:, :length]
 
+    seeds = native.mds_seed_walk(
+        np.array(_MDS), np.array(_RC), np.arange(1, _MDS_W + 1), nb, block, P
+    )
     return _mds_expand_fn(block)(jnp.asarray(seeds))[:, :length]

@@ -132,6 +132,17 @@ def _load():
     lib.stark_merkle_verify_batch.restype = ctypes.c_int64
     lib.stark_merkle_levels.argtypes = [u8p, ctypes.c_uint64, u8p]
     lib.stark_merkle_levels.restype = None
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.stark_mds_seed_walk.argtypes = [
+        u32p,
+        u32p,
+        u32p,
+        ctypes.c_uint64,
+        ctypes.c_uint64,
+        ctypes.c_uint64,
+        u32p,
+    ]
+    lib.stark_mds_seed_walk.restype = None
     _lib = lib
     AVAILABLE = True
 
@@ -207,6 +218,30 @@ def merkle_levels(leaf_digests) -> list["np.ndarray"]:
             break
         w //= 2
     return levels
+
+
+def mds_seed_walk(m, rc, s0, nb: int, block: int, p: int) -> "np.ndarray":
+    """Walk the width-8 quadratic chain s' = (M s)^2 + rc for nb*block
+    steps, returning the (nb, 8) block-start states (uint32).  The
+    sequential scalar chain runs here on the scalar engine; the TPU
+    re-expands the blocks in parallel (examples.mds_square_trace_cols_device)."""
+    import numpy as np
+
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    m = np.ascontiguousarray(m, dtype=np.uint32)
+    rc = np.ascontiguousarray(rc, dtype=np.uint32)
+    s0 = np.ascontiguousarray(s0, dtype=np.uint32)
+    out = np.empty((nb, 8), dtype=np.uint32)
+    _lib.stark_mds_seed_walk(
+        m.ctypes.data_as(u32p),
+        rc.ctypes.data_as(u32p),
+        s0.ctypes.data_as(u32p),
+        nb,
+        block,
+        p,
+        out.ctypes.data_as(u32p),
+    )
+    return out
 
 
 def merkle_verify(leaf: bytes, index: int, path: list[bytes], root: bytes) -> bool:

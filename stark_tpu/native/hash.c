@@ -348,3 +348,34 @@ int64_t stark_merkle_verify_batch(const uint64_t *leaf_values, uint64_t c,
   }
   return -1;
 }
+
+/* --------------------------------------------------------------------------
+ * Width-8 quadratic chain walk (the MDS flagship's witness seed chain,
+ * examples.py MdsSquareAir): s' = (M s)^2 + rc (mod p), writing every
+ * `block`-th state.  The recurrence is nonlinear, so the T-step sequential
+ * depth is irreducible — which makes it SCALAR-ENGINE work, not TPU work
+ * (measured: a 1-lane device lax.scan at T=2^16 is ~0.66 s, latency-bound;
+ * this walk is ~5 ms).  Entries < p < 2^30, so an 8-term u64 accumulator
+ * stays < 2^63: one %% per matvec row, one per square+rc.
+ * -------------------------------------------------------------------------- */
+void stark_mds_seed_walk(const uint32_t *m /* 8x8 row-major */,
+                         const uint32_t *rc /* 8 */,
+                         const uint32_t *s0 /* 8 */,
+                         uint64_t nb, uint64_t block, uint64_t p,
+                         uint32_t *seeds_out /* nb*8 */) {
+  uint64_t s[8], nx[8], b, t;
+  int i, j;
+  for (i = 0; i < 8; i++) s[i] = s0[i];
+  for (b = 0; b < nb; b++) {
+    for (i = 0; i < 8; i++) seeds_out[b * 8 + i] = (uint32_t)s[i];
+    for (t = 0; t < block; t++) {
+      for (i = 0; i < 8; i++) {
+        uint64_t acc = 0;
+        for (j = 0; j < 8; j++) acc += (uint64_t)m[i * 8 + j] * s[j];
+        acc %= p;
+        nx[i] = (acc * acc % p + rc[i]) % p;
+      }
+      for (i = 0; i < 8; i++) s[i] = nx[i];
+    }
+  }
+}

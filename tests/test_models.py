@@ -149,3 +149,23 @@ def test_mixed_width_airs_same_shape_both_orders():
     b_wide = prove(TwoRegisterFibonacciAir, two_register_fibonacci_trace)
     assert a_wide == b_wide
     assert a_narrow == b_narrow
+
+
+def test_mds_device_trace_pure_device_fallback_matches_host():
+    """The no-native-engine path (pure-device seed scan,
+    _mds_device_trace_fn) must produce the same columns as the host walk
+    — it is the fallback when the C engine can't build."""
+    import numpy as np
+
+    from stark_tpu.models.examples import (
+        _MDS_W,
+        _mds_device_trace_fn,
+        mds_square_trace,
+    )
+    import jax.numpy as jnp
+
+    for T, block in ((64, 16), (65, 16), (96, 32)):
+        nb = (T + block - 1) // block
+        s0 = jnp.asarray(np.arange(1, _MDS_W + 1, dtype=np.uint32))
+        dev = np.asarray(_mds_device_trace_fn(block, nb)(s0)[:, :T])
+        assert np.array_equal(mds_square_trace(T).T, dev), (T, block)
