@@ -75,14 +75,15 @@ def main() -> None:
         x = jax.device_put(
             jnp.zeros((n,), jnp.uint32), sh
         )
-        fn = pntt._sharded_ntt_fn(mesh, n, False, 0)
+        fn = pntt._sharded_ntt_fn(mesh, n, False, 0, pntt.OVERLAP_CHUNKS)
         # Reach the underlying jit to lower/compile without executing.
         R, C, tw, tws = pntt._fourstep_consts(n, False)
+        K = max(1, min(pntt.OVERLAP_CHUNKS, min(R, C) // D))
         tw_sh = NamedSharding(mesh, P(AXIS, None))
         jfn = jax.jit(
             jax.shard_map(
-                lambda a, b, c: pntt._local_fourstep(
-                    a, b, c, R=R, C=C, D=D, inverse=False
+                lambda a, b, c: pntt._local_fourstep_overlap(
+                    a, b, c, R=R, C=C, D=D, inverse=False, K=K
                 ),
                 mesh=mesh,
                 in_specs=(P(AXIS), P(AXIS, None), P(AXIS, None)),
@@ -93,9 +94,11 @@ def main() -> None:
         twsd = jax.device_put(jnp.asarray(tws), tw_sh)
         hlo = jfn.lower(x, twd, twsd).compile().as_text()
         got = collective_bytes(hlo)
+        n_a2a = len(re.findall(r" all-to-all\(", hlo))
         analytic = 3 * 4 * (n // D) * (D - 1) // D
         print(
-            f"D={D}: HLO collective OUTPUT bytes/device: "
+            f"D={D}: K={K} overlap chunks, {n_a2a} all_to_alls; "
+            "HLO collective OUTPUT bytes/device: "
             + (", ".join(f"{k}={v/1e6:.3f} MB" for k, v in sorted(got.items()))
                or "none")
             + f"; ICI wire bytes/device = {analytic/1e6:.3f} MB"
@@ -112,6 +115,10 @@ def main() -> None:
           "(45 GB/s one-way per link, public spec)")
     print("# E = T1 / (D * T_D);  T_D = compute + comm (no overlap) or "
           "max(compute, comm) (full overlap); twiddle pass ~= 3 HBM passes")
+    print("# 'overlapped' corresponds to pntt._local_fourstep_overlap "
+          "(K independent exchange->butterfly chains per phase; "
+          f"default K={__import__('stark_tpu.parallel.pntt', fromlist=['x']).OVERLAP_CHUNKS}), "
+          "scheduled by XLA's async collectives on real ICI")
     for D in (2, 4, 8):
         compute = T1 / D + 3 * 4 * (n / D) / HBM
         wire = 3 * 4 * (n / D) * (D - 1) / D

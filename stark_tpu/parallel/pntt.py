@@ -91,14 +91,97 @@ def _local_fourstep(x, tw, tws, *, R: int, C: int, D: int, inverse: bool):
     return x.reshape(batch + (R * C // D,))           # (..., n/D) chunk of X
 
 
+import os
+
+#: Number of independent (exchange -> butterfly) chains each four-step
+#: phase is split into (comm/compute overlap, BASELINE.md config 5's
+#: ">=80% requires overlap" accounting).  1 = the monolithic variant.
+#: Clamped per transform so every chunk keeps >= 1 column per device.
+try:
+    OVERLAP_CHUNKS = max(1, int(os.environ.get("STARK_TPU_NTT_OVERLAP", "4")))
+except ValueError:
+    OVERLAP_CHUNKS = 4
+
+
+def _local_fourstep_overlap(x, tw, tws, *, R: int, C: int, D: int,
+                            inverse: bool, K: int):
+    """Chunked four-step body: BIT-IDENTICAL to :func:`_local_fourstep`,
+    but every phase's single blocking ``all_to_all`` becomes ``K``
+    INDEPENDENT (exchange -> local butterflies) chains, so XLA's async
+    collective scheduler can hide chunk i+1's exchange under chunk i's
+    NTT work (a monolithic all_to_all has nothing concurrent to hide
+    behind — the whole pipeline stalls for the wire).
+
+    Layout invariant: chunk slices are STRIDED — the exchanged axis is
+    viewed as (D, K, sub) and chunk k takes [:, k, :] — so each chunked
+    exchange still lands every device with a contiguous span of its
+    global range, and concatenating chunks in order reproduces the
+    monolithic layout exactly (same values, same order => same bytes
+    all the way to the proof).  Phases 2 and 3 pipeline PER CHUNK
+    (exchange -> size-C NTT -> exchange), overlapping the third
+    transpose with other chunks' butterflies; a final local (K, D)
+    axis transpose restores k1 order.
+    """
+    batch = x.shape[:-1]
+    nb = len(batch)
+    Csub, Rsub = C // (D * K), R // (D * K)
+    # -- phase 1: j2-chunked [transpose 1 + size-R NTT + twiddle] -------
+    x = x.reshape(batch + (R // D, D, K, Csub))
+    cols = []
+    for k in range(K):
+        sl = x[..., :, :, k, :].reshape(batch + (R // D, D * Csub))
+        if D > 1:
+            sl = jax.lax.all_to_all(
+                sl, AXIS, split_axis=nb + 1, concat_axis=nb, tiled=True
+            )
+        sl = _ntt_core(jnp.swapaxes(sl, nb, nb + 1), get_plan(R, inverse))
+        cols.append(
+            F.shoup_mul(
+                sl,
+                tw[k * Csub : (k + 1) * Csub],
+                tws[k * Csub : (k + 1) * Csub],
+            )
+        )
+    x = jnp.concatenate(cols, axis=nb)                # (batch, C/D, R)
+    # -- phases 2+3: k1-chunked [transpose 2 + size-C NTT + transpose 3]
+    x = x.reshape(batch + (C // D, D, K, Rsub))
+    outs = []
+    for k in range(K):
+        sl = x[..., :, :, k, :].reshape(batch + (C // D, D * Rsub))
+        if D > 1:
+            sl = jax.lax.all_to_all(
+                sl, AXIS, split_axis=nb + 1, concat_axis=nb, tiled=True
+            )
+        sl = _ntt_core(jnp.swapaxes(sl, nb, nb + 1), get_plan(C, inverse))
+        sl = jnp.swapaxes(sl, nb, nb + 1)             # (batch, C, Rsub)
+        if D > 1:
+            sl = jax.lax.all_to_all(
+                sl, AXIS, split_axis=nb, concat_axis=nb + 1, tiled=True
+            )
+        outs.append(sl.reshape(batch + (C // D, D, Rsub)))
+    # chunk k's last axis holds k1 = e*R/D + k*Rsub + r: stack to
+    # (C/D, K, D, Rsub) and swap (K, D) -> (D, K) for natural k1 order.
+    x = jnp.stack(outs, axis=nb + 1)                  # (batch, C/D, K, D, Rsub)
+    x = jnp.swapaxes(x, nb + 1, nb + 2)               # (batch, C/D, D, K, Rsub)
+    return x.reshape(batch + (R * C // D,))           # (..., n/D) chunk of X
+
+
 @functools.lru_cache(maxsize=None)
-def _sharded_ntt_fn(mesh: Mesh, n: int, inverse: bool, nb: int):
+def _sharded_ntt_fn(mesh: Mesh, n: int, inverse: bool, nb: int, K: int):
     D = mesh.devices.size
     assert n % (D * D) == 0, (
         f"sharded NTT needs D^2 | n (n={n}, D={D}); gather smaller transforms"
     )
     R, C, tw, tws = _fourstep_consts(n, inverse)
-    body = functools.partial(_local_fourstep, R=R, C=C, D=D, inverse=inverse)
+    K = max(1, min(K, min(R, C) // D))
+    if K > 1:
+        body = functools.partial(
+            _local_fourstep_overlap, R=R, C=C, D=D, inverse=inverse, K=K
+        )
+    else:
+        body = functools.partial(
+            _local_fourstep, R=R, C=C, D=D, inverse=inverse
+        )
     batch_spec = (None,) * nb
     fn = jax.shard_map(
         body,
@@ -112,14 +195,20 @@ def _sharded_ntt_fn(mesh: Mesh, n: int, inverse: bool, nb: int):
     return lambda x: jfn(x, tw_j, tws_j)
 
 
-def sharded_ntt(x, mesh: Mesh):
-    """Forward NTT of a (..., n) uint32 array sharded on its last axis."""
-    return _sharded_ntt_fn(mesh, x.shape[-1], False, x.ndim - 1)(x)
+def sharded_ntt(x, mesh: Mesh, overlap: int | None = None):
+    """Forward NTT of a (..., n) uint32 array sharded on its last axis.
+
+    ``overlap`` chunks each transpose into that many independent
+    exchange/compute chains (default :data:`OVERLAP_CHUNKS`); bytes are
+    identical for every value."""
+    K = OVERLAP_CHUNKS if overlap is None else overlap
+    return _sharded_ntt_fn(mesh, x.shape[-1], False, x.ndim - 1, K)(x)
 
 
-def sharded_intt(x, mesh: Mesh):
+def sharded_intt(x, mesh: Mesh, overlap: int | None = None):
     """Inverse NTT (includes the 1/n scale, split as 1/R * 1/C locally)."""
-    return _sharded_ntt_fn(mesh, x.shape[-1], True, x.ndim - 1)(x)
+    K = OVERLAP_CHUNKS if overlap is None else overlap
+    return _sharded_ntt_fn(mesh, x.shape[-1], True, x.ndim - 1, K)(x)
 
 
 # ---------------------------------------------------------------------------

@@ -273,3 +273,78 @@ class TestCommunicationVolume:
         p8 = prover.prove(rows)
         assert p8 == StarkProver(air, cfg).prove(rows)
         assert StarkVerifier(air, cfg).verify(p8)
+
+
+class TestOverlappedNTT:
+    """The chunked (comm/compute-overlappable) four-step variant: bytes
+    identical to the monolithic body at every chunking and device count,
+    and the compiled HLO carries exactly 3*K independent all_to_alls of
+    n/(D*K) words — the structure XLA's async collective scheduler needs
+    to hide exchanges under butterflies (BASELINE.md config 5's
+    "overlapped" efficiency column points here)."""
+
+    @pytest.mark.parametrize("n", [256, 4096])
+    @pytest.mark.parametrize("K", [1, 2, 4])
+    def test_overlap_bytes_match_monolithic(self, mesh, n, K):
+        rng = np.random.default_rng(n + K)
+        x = rng.integers(0, PRIME, size=n, dtype=np.uint32)
+        mono = np.asarray(pntt.sharded_ntt(_shard(x, mesh), mesh, overlap=1))
+        got = np.asarray(pntt.sharded_ntt(_shard(x, mesh), mesh, overlap=K))
+        assert np.array_equal(got, mono)
+        assert np.array_equal(mono, np.asarray(NTT.ntt(x)))
+
+    @pytest.mark.parametrize("D", [2, 4, 8])
+    def test_overlap_bytes_all_device_counts(self, D):
+        n = 4096
+        mesh = make_mesh(D)
+        rng = np.random.default_rng(D)
+        x = rng.integers(0, PRIME, size=n, dtype=np.uint32)
+        got = np.asarray(pntt.sharded_ntt(_shard(x, mesh), mesh))
+        assert np.array_equal(got, np.asarray(NTT.ntt(x)))
+        back = np.asarray(pntt.sharded_intt(_shard(got, mesh), mesh))
+        assert np.array_equal(back, x)
+
+    def test_overlap_collective_structure(self, mesh):
+        """Partitioned HLO of the K=4 body: exactly 12 all_to_alls, each
+        n/(D*K) words, no hidden all-gathers/reduces — same total wire
+        volume as monolithic, but in independent overlappable chains."""
+        import re
+
+        n, K = 1 << 12, 4
+        D = mesh.devices.size
+        R, C, tw, tws = pntt._fourstep_consts(n, False)
+        jfn = jax.jit(
+            jax.shard_map(
+                lambda a, b, c: pntt._local_fourstep_overlap(
+                    a, b, c, R=R, C=C, D=D, inverse=False, K=K
+                ),
+                mesh=mesh,
+                in_specs=(P(AXIS), P(AXIS, None), P(AXIS, None)),
+                out_specs=P(AXIS),
+            )
+        )
+        x = jax.device_put(
+            jnp.zeros((n,), jnp.uint32), NamedSharding(mesh, P(AXIS))
+        )
+        tw_sh = NamedSharding(mesh, P(AXIS, None))
+        hlo = jfn.lower(
+            x,
+            jax.device_put(jnp.asarray(tw), tw_sh),
+            jax.device_put(jnp.asarray(tws), tw_sh),
+        ).compile().as_text()
+        a2a_sigs = [
+            m.group(1)
+            for line in hlo.splitlines()
+            if (m := re.search(r"= *(.*?) all-to-all\(", line))
+        ]
+        assert len(a2a_sigs) == 3 * K, f"expected {3*K}: {a2a_sigs}"
+        for sig in a2a_sigs:
+            count = 0
+            for dims in re.findall(r"u32\[([\d,]+)\]", sig):
+                k = 1
+                for d in dims.split(","):
+                    k *= int(d)
+                count += k
+            assert count == n // (D * K), (sig, n // (D * K))
+        for bad in ("all-gather", "all-reduce", "reduce-scatter"):
+            assert bad not in hlo, f"unexpected {bad} in the sharded NTT"
