@@ -188,6 +188,7 @@ def _mega_prove_fn(key, extra_key, extra_gather):
         wide_n_paths,    # path lengths of the wide-prefix trees
         _wide_n_pres,
         _wide_has_stack,
+        wide_bitrev,     # per wide tree: pre levels stored bit-reversed
     ) = key
     R = len(all_lengths)
     R0 = R - len(widths)  # wide-prefix rounds
@@ -261,6 +262,7 @@ def _mega_prove_fn(key, extra_key, extra_gather):
 
         # -- query gathers for every round (fri.rs:215-248 reads) --------
         idx = top_idx.astype(jnp.int32)
+        bitrevs = list(wide_bitrev) + [False] * len(widths)
         qouts = []
         for i in range(R - 1):
             half = all_lengths[i] // 2
@@ -270,8 +272,10 @@ def _mega_prove_fn(key, extra_key, extra_gather):
                 (
                     jnp.take(cws[i], ab),
                     jnp.take(cws[i + 1], idx),
-                    path_gather_dev(*tree_ops[i], ab, n_paths[i]),
-                    path_gather_dev(*tree_ops[i + 1], idx, n_paths[i + 1]),
+                    path_gather_dev(*tree_ops[i], ab, n_paths[i],
+                                    bitrev_pre=bitrevs[i]),
+                    path_gather_dev(*tree_ops[i + 1], idx, n_paths[i + 1],
+                                    bitrev_pre=bitrevs[i + 1]),
                 )
             )
 
@@ -309,7 +313,7 @@ def _query_gather_fn(key):
     the compiled graph."""
     from stark_tpu.merkle import path_gather_dev
 
-    lengths, n_paths, _n_pres, _has_stack = key
+    lengths, n_paths, _n_pres, _has_stack, bitrevs = key
     R = len(lengths)
 
     def fn(cws, tree_ops, ab_list, c_list):
@@ -321,8 +325,10 @@ def _query_gather_fn(key):
                 (
                     jnp.take(cws[i], ab_list[i]),
                     jnp.take(cws[i + 1], c_list[i]),
-                    path_gather_dev(cur_pre, cur_stack, ab_list[i], n_paths[i]),
-                    path_gather_dev(nxt_pre, nxt_stack, c_list[i], n_paths[i + 1]),
+                    path_gather_dev(cur_pre, cur_stack, ab_list[i],
+                                    n_paths[i], bitrev_pre=bitrevs[i]),
+                    path_gather_dev(nxt_pre, nxt_stack, c_list[i],
+                                    n_paths[i + 1], bitrev_pre=bitrevs[i + 1]),
                 )
             )
         return outs
@@ -850,6 +856,7 @@ class Fri:
                 tuple(wide_n_paths),
                 tuple(len(o[0]) for o in wide_tree_ops),
                 tuple(o[1] is not None for o in wide_tree_ops),
+                tuple(getattr(t, "_bitrev_pre", False) for t in trees),
             )
             inv_x_list = [
                 self._plan.inv_x_mont(i) for i in range(rounds - 1)
@@ -1251,6 +1258,9 @@ class Fri:
                     tuple(n_paths),
                     tuple(len(ops_t[0]) for ops_t in tree_ops),
                     tuple(ops_t[1] is not None for ops_t in tree_ops),
+                    tuple(
+                        getattr(t, "_bitrev_pre", False) for t in trees
+                    ),
                 )
                 dev = _query_gather_fn(key)(
                     list(codewords), tree_ops, ab_list, c_list

@@ -55,7 +55,27 @@ def _open_batch_fn(n: int, n_dev_levels: int, k: int):
     return jax.jit(gather)
 
 
-def path_gather_dev(pre_levels, stack, idx, n_path: int):
+def _bitrev_dev(x, nbits: int):
+    """Traceable bit reversal of (k,) integer indices over ``nbits`` bits."""
+    import jax.numpy as jnp
+
+    out = jnp.zeros_like(x)
+    for b in range(nbits):
+        out = out | (((x >> b) & 1) << (nbits - 1 - b))
+    return out
+
+
+def _semirev_pos(x, K: int, lgF: int):
+    """Stored position of node ``x`` in a semirev-K level (traceable):
+    j = hi*2^K + lo  ->  rev_K(lo)*2^lgF + hi.  K = 0 is natural order."""
+    if K <= 0:
+        return x
+    lo = x & ((1 << K) - 1)
+    return (_bitrev_dev(lo, K) << lgF) | (x >> K)
+
+
+def path_gather_dev(pre_levels, stack, idx, n_path: int,
+                    bitrev_pre: bool = False):
     """TRACEABLE sibling-path gather for one full-device tree.
 
     ``pre_levels``: row-tuple levels preceding the tail stack (leaf level
@@ -64,6 +84,14 @@ def path_gather_dev(pre_levels, stack, idx, n_path: int):
     excluded).  Returns (n_path, k, 32) u8, level-major bottom-up —
     the same layout :func:`MerkleTree.paths_from_dev` consumes.
 
+    ``bitrev_pre``: the pre levels are stored in SEMIREV order (partial
+    bit reversal, hash_batch.semirev_rows_core — the wide halves-combine
+    fast path): level ``lvl`` has its low K = n_pre-1-lvl index bits
+    reversed to the top, so node j lives at stored position
+    _semirev_pos(j, K, lgF) with lgF the cutover level's log2-width.
+    The cutover level itself (K=0) is natural.  STATIC: callers must key
+    their jits on it.
+
     Arrays must be passed as jit ARGUMENTS (not closed over), so callers
     key their jit on the static structure and feed
     :meth:`MerkleTree.gather_operands` through the arg list.
@@ -71,8 +99,12 @@ def path_gather_dev(pre_levels, stack, idx, n_path: int):
     import jax.numpy as jnp
 
     parts = []
+    n_pre = len(pre_levels)
+    lgF = n_path - n_pre + 1  # cutover level's log2-width
     for lvl, rows in enumerate(pre_levels):
         sib = (idx >> lvl) ^ 1
+        if bitrev_pre:
+            sib = _semirev_pos(sib, n_pre - 1 - lvl, lgF)
         parts.append(
             jnp.stack(
                 [r[sib // HB.LANE, sib % HB.LANE] for r in rows], axis=1
@@ -89,10 +121,10 @@ def _stack_open_fn(key):
     """Jitted stack-route path gather for light full-device trees."""
     import jax
 
-    n_path, _n_pre = key
+    n_path, _n_pre, bitrev = key
 
     def fn(pre, stack, idx):
-        return path_gather_dev(pre, stack, idx, n_path)
+        return path_gather_dev(pre, stack, idx, n_path, bitrev_pre=bitrev)
 
     return jax.jit(fn)
 
@@ -100,6 +132,18 @@ def _stack_open_fn(key):
 def _rows_width(rows) -> int:
     # (R, 128) tiles above one lane tile; (1, w) below it.
     return int(rows[0].shape[0]) * int(rows[0].shape[1])
+
+
+@functools.lru_cache(maxsize=None)
+def _semirev_host(K: int, lgF: int) -> np.ndarray:
+    """sigma[j] = stored position of node j in a semirev-K level of width
+    2^(K+lgF) (host numpy): natural[j] = stored[sigma[j]]."""
+    idx = np.arange(1 << (K + lgF), dtype=np.int64)
+    lo = idx & ((1 << K) - 1)
+    rev = np.zeros_like(lo)
+    for b in range(K):
+        rev |= ((lo >> b) & 1) << (K - 1 - b)
+    return (rev << lgF) | (idx >> K)
 
 
 def _rows_to_host_bytes(rows) -> np.ndarray:
@@ -147,6 +191,9 @@ class MerkleTree:
         # path gathers; _tail_first = tree level of stack level 0.
         self._tail_stack = None
         self._tail_first = 0
+        # Wide pre levels stored in bit-reversed node order (the halves
+        # combine fast path); gathers/host access map indices through rev.
+        self._bitrev_pre = False
 
     # -- constructors --------------------------------------------------------
 
@@ -204,13 +251,30 @@ class MerkleTree:
         LIGHT tree: only the pre-tail levels, the root, and the raw padded
         tail stack are materialized (per-level slice outputs measured
         ~45 ms of buffer cost at 2^16; gathers read the stack directly and
-        :attr:`levels` reconstructs host bytes from it on demand)."""
-        dev = [leaf_rows]
+        :attr:`levels` reconstructs host bytes from it on demand).
+
+        Wide pre levels are stored SEMIREV (one partial-bit-reversal
+        transpose of the leaf digests — hash_batch.semirev_rows_core, NOT
+        a scattered gather — then every wide combine takes contiguous
+        halves, ~2x faster than the stride-2 deinterleave; after the K
+        wide levels the cutover level is NATURALLY ordered for free).
+        Path gathers map indices via ``bitrev_pre``."""
+        W = _rows_width(leaf_rows)
+        if W <= HB.FUSE_MAX_WIDTH:
+            root, stack = HB.tail_levels_light(leaf_rows)
+            tree = MerkleTree(_dev_levels=(leaf_rows,))
+            tree._root_bytes_dev_cached = root
+            tree._tail_stack = stack
+            tree._tail_first = 1
+            return tree
+        K0 = W.bit_length() - HB.FUSE_MAX_WIDTH.bit_length()
+        dev = [HB.semirev_rows(leaf_rows, K0)]
         while _rows_width(dev[-1]) > HB.FUSE_MAX_WIDTH:
-            dev.append(HB.level_rows(dev[-1]))
+            dev.append(HB.level_rows_halves(dev[-1]))
         n_pre = len(dev)
         root, stack = HB.tail_levels_light(dev[-1])
         tree = MerkleTree(_dev_levels=tuple(dev))
+        tree._bitrev_pre = True
         tree._root_bytes_dev_cached = root
         tree._tail_stack = stack
         tree._tail_first = n_pre
@@ -242,12 +306,18 @@ class MerkleTree:
             tree._tail_stack = stack
             tree._tail_first = 1
             return tree
-        dev = [HB.leaf_hash_rows(v2d)]
+        # Wide tree: leaves hashed straight into semirev order (the
+        # partial-bit-reversal transpose rides the 4 B/lane values, not
+        # the 32 B digests); wide levels combine contiguous halves; the
+        # cutover level lands naturally ordered (see _finish_device).
+        K0 = n.bit_length() - HB.FUSE_MAX_WIDTH.bit_length()
+        dev = [HB.leaf_hash_rows_semirev(v, K0)]
         while _rows_width(dev[-1]) > HB.FUSE_MAX_WIDTH:
-            dev.append(HB.level_rows(dev[-1]))
+            dev.append(HB.level_rows_halves(dev[-1]))
         n_pre = len(dev)
         root, stack = HB.tail_levels_light(dev[-1])
         tree = MerkleTree(_dev_levels=tuple(dev))
+        tree._bitrev_pre = True
         tree._root_bytes_dev_cached = root
         tree._tail_stack = stack
         tree._tail_first = n_pre
@@ -272,6 +342,14 @@ class MerkleTree:
         levels from the raw padded stack (valid-prefix slices)."""
         if self._host_all is None:
             out = [_rows_to_host_bytes(lv) for lv in self._dev_levels]
+            if self._bitrev_pre:
+                # natural[j] = stored[sigma(j)] (semirev storage).
+                n_pre = self._tail_first
+                lgF = self.num_leaves.bit_length() - n_pre
+                out = [
+                    arr[_semirev_host(n_pre - 1 - lvl, lgF)]
+                    for lvl, arr in enumerate(out)
+                ]
             if self._tail_stack is not None:
                 stack = np.asarray(self._tail_stack).astype(np.uint8)
                 w = self.num_leaves >> self._tail_first
@@ -311,6 +389,10 @@ class MerkleTree:
     def leaf(self, index: int) -> Hash:
         if self._dev_levels:
             rows = self._dev_levels[0]
+            if self._bitrev_pre:
+                n_pre = self._tail_first
+                lgF = self.num_leaves.bit_length() - n_pre
+                index = int(_semirev_host(n_pre - 1, lgF)[index])
             return Hash(
                 bytes(
                     int(np.asarray(r[index // HB.LANE, index % HB.LANE]))
@@ -366,9 +448,10 @@ class MerkleTree:
         if self._top_levels is None and self._tail_stack is not None:
             # Light full-device tree: gather straight from the tail stack.
             ops, n_path = self.gather_operands()
-            key = (n_path, len(ops[0]))
+            key = (n_path, len(ops[0]), self._bitrev_pre)
             return _stack_open_fn(key)(ops[0], ops[1], idx)
         # Full-device trees include the root level, which paths exclude.
+        assert not self._bitrev_pre  # bitrev trees always carry a stack
         n_lv = len(self._dev_levels) - (1 if self._top_levels is None else 0)
         return _open_batch_fn(self.num_leaves, n_lv, len(indices))(
             self._dev_levels, idx

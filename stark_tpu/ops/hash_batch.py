@@ -344,6 +344,64 @@ def level_rows_core(rows, rolled: bool = False):
     return combine_rows_core(left, right, rolled=rolled)
 
 
+def level_rows_halves_core(rows, rolled: bool = False):
+    """One Merkle level on BIT-REVERSED-stored row-tuples: combine the two
+    CONTIGUOUS halves (zero lane shuffling — the whole point of the
+    layout).
+
+    With level nodes stored at position rev(j) (bit-reversal over the
+    level's log2-width), a node pair (2i, 2i+1) lands at positions
+    (p, p + W/2) where p = rev_{W/2}(i): the pair's LSB becomes the
+    stored position's MSB.  So left = first half, right = second half,
+    and parent i belongs at position p — the combine output IS the next
+    level in ITS bit-reversed order, with no deinterleave anywhere.
+    Measured (TPU v5e, W=2^21, chained): 1.75 ms vs 3.65 ms for the
+    deinterleaving :func:`level_rows_core` — the stride-2 u8 lane
+    shuffle was ~half of every wide level's cost.
+    """
+    R = rows[0].shape[0]
+    if R == 1:
+        w = rows[0].shape[1]
+        left = tuple(r[:, : w // 2] for r in rows)
+        right = tuple(r[:, w // 2 :] for r in rows)
+    else:
+        left = tuple(r[: R // 2] for r in rows)
+        right = tuple(r[R // 2 :] for r in rows)
+    return combine_rows_core(left, right, rolled=rolled)
+
+
+def _rev_bits_host(K: int) -> tuple:
+    """Static (2^K,) bit-reversal list (rev is an involution)."""
+    return tuple(
+        int(format(i, f"0{K}b")[::-1], 2) if K else 0 for i in range(1 << K)
+    )
+
+
+def _semirev_flat(flat, K: int):
+    """(n,) array -> partially-bit-reversed order: j = hi*2^K + lo moves
+    to position rev_K(lo)*(n/2^K) + hi.  Lowered as ONE (n/2^K, 2^K)
+    transpose plus a static 2^K-row reorder — pure tiled data movement,
+    NO scattered gather (a full-bit-reversal gather of a 2^22-lane tree
+    measured ~2 s on TPU through XLA's elementwise gather; this is
+    HBM-bound instead)."""
+    n = int(flat.shape[0])
+    F = n >> K
+    t = flat.reshape(F, 1 << K).T  # (2^K, F): row lo holds {hi}
+    return t[jnp.asarray(_rev_bits_host(K), jnp.int32)].reshape(-1)
+
+
+def semirev_rows_core(rows, K: int):
+    """Row-tuple -> the partial-bit-reversed storage the wide halves
+    combine wants: only the low K bits (one per wide level) reverse to
+    the top; after K halves-combines the cutover level is NATURALLY
+    ordered (no un-permute).  Node j of the result's level-l child sits
+    at rev position computed by merkle._semirev_pos."""
+    R, w = rows[0].shape
+    return tuple(
+        _semirev_flat(r.reshape(-1), K).reshape(R, w) for r in rows
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fused tail-tree builder: ALL Merkle levels below a cutover width in ONE
 # dispatch.
@@ -624,6 +682,11 @@ _level_rows = (
     jax.jit(level_rows_core),
     jax.jit(functools.partial(level_rows_core, rolled=True)),
 )
+_level_rows_halves = (
+    jax.jit(level_rows_halves_core),
+    jax.jit(functools.partial(level_rows_halves_core, rolled=True)),
+)
+_semirev_rows_jit = jax.jit(semirev_rows_core, static_argnums=1)
 
 
 def leaf_hash_rows(values2d):
@@ -639,6 +702,34 @@ def row_hash_rows(cols):
 def level_rows(rows):
     n = int(rows[0].shape[0]) * int(rows[0].shape[1])
     return _level_rows[n <= FUSE_MAX_WIDTH](rows)
+
+
+def level_rows_halves(rows):
+    n = int(rows[0].shape[0]) * int(rows[0].shape[1])
+    return _level_rows_halves[n <= FUSE_MAX_WIDTH](rows)
+
+
+def semirev_rows(rows, K: int):
+    return _semirev_rows_jit(rows, K)
+
+
+@functools.lru_cache(maxsize=None)
+def _leaf_hash_semirev_fn(n: int, K: int):
+    """Leaf hash with partial-bit-reversed output order, fused as an
+    input-value permute (4 B/lane — 8x cheaper than permuting the 32 B
+    digest planes)."""
+
+    def fn(v):
+        v2d = _semirev_flat(v, K).reshape(n // LANE, LANE)
+        return leaf_hash_rows_core(v2d, rolled=n <= FUSE_MAX_WIDTH)
+
+    return jax.jit(fn)
+
+
+def leaf_hash_rows_semirev(values, K: int):
+    """(n,) u32 values -> leaf-digest row-tuple in semirev-K storage
+    (see semirev_rows_core); n must be >= 2 lanes."""
+    return _leaf_hash_semirev_fn(int(values.shape[0]), K)(values)
 
 
 # ---------------------------------------------------------------------------

@@ -203,13 +203,13 @@ def _trace_open_fn(key):
     for every query index.  ``key`` pins the tree's static structure."""
     from stark_tpu.merkle import path_gather_dev
 
-    n_path, _n_pre, _has_stack = key
+    n_path, _n_pre, _has_stack, bitrev = key
 
     def fn(trace_lde, tree_ops, idx):
         pre, stack = tree_ops
         return (
             jnp.take(trace_lde, idx, axis=1),
-            path_gather_dev(pre, stack, idx, n_path),
+            path_gather_dev(pre, stack, idx, n_path, bitrev_pre=bitrev),
         )
 
     return jax.jit(fn)
@@ -226,7 +226,8 @@ def _dev_cols_idx(top_idx, N: int, blowup: int, offsets: tuple):
     return (qp[:, None] + offs[None, :]).reshape(-1) & (N - 1)
 
 
-def _open_gather_full(top_idx, operands, *, N, blowup, offsets, n_path):
+def _open_gather_full(top_idx, operands, *, N, blowup, offsets, n_path,
+                      bitrev=False):
     """TRACEABLE trace-opening gather for the single-fetch chained prove
     (full-device trace trees): FRI top-level indices (device-resident,
     straight off the chain's sampler) -> opened column values + sibling
@@ -238,7 +239,7 @@ def _open_gather_full(top_idx, operands, *, N, blowup, offsets, n_path):
     idx = _dev_cols_idx(top_idx, N, blowup, offsets)
     return [
         jnp.take(trace_lde, idx, axis=1),
-        path_gather_dev(pre, stack, idx, n_path),
+        path_gather_dev(pre, stack, idx, n_path, bitrev_pre=bitrev),
     ]
 
 
@@ -459,7 +460,12 @@ class StarkProver:
             idx_dev = jnp.asarray(cols_idx, dtype=jnp.int32)
             if trace_tree._top_levels is None:
                 ops_t, n_path = trace_tree.gather_operands()
-                key = (n_path, len(ops_t[0]), ops_t[1] is not None)
+                key = (
+                    n_path,
+                    len(ops_t[0]),
+                    ops_t[1] is not None,
+                    trace_tree._bitrev_pre,
+                )
                 return cols_idx, _trace_open_fn(key)(
                     trace_lde_dev, ops_t, idx_dev
                 )
@@ -492,12 +498,14 @@ class StarkProver:
                 blowup=cfg.blowup,
                 offsets=tuple(self.air.frame_offsets),
                 n_path=n_path,
+                bitrev=trace_tree._bitrev_pre,
             )
             extra_gather_key = (
                 "trace_open_full",
                 n_path,
                 len(ops_t[0]),
                 ops_t[1] is not None,
+                trace_tree._bitrev_pre,
             ) + shape_key
         else:
             extra_operands = (trace_lde_dev,)

@@ -115,3 +115,36 @@ class TestFusedTailTrees:
         for i in [0, n // 2 + 3, n - 1]:
             leaf = Hash.from_field_elements([int(values[i])])
             assert MerkleTree.verify(leaf, i, tree.open(i), tree.root)
+
+    @pytest.mark.slow
+    def test_bitrev_wide_tree_matches_scalar_reference(self):
+        """Wide trees store pre levels bit-reversed (contiguous-halves
+        combine fast path).  Every externally visible surface must be
+        natural-order: root, levels property, leaf accessor, and opened
+        paths (refolded to the root)."""
+        import numpy as np
+
+        from stark_tpu import native
+        from stark_tpu.ops import hash_batch as HB
+
+        rng = np.random.default_rng(10)
+        n = 4 * HB.FUSE_MAX_WIDTH  # two wide (bitrev) levels + tail
+        values = rng.integers(0, 998244353, size=n, dtype=np.uint32)
+        tree = MerkleTree.from_leaf_values_full_device(values)
+        assert tree._bitrev_pre and tree._tail_first == 3
+
+        if native.AVAILABLE:
+            digests = native.hash_u64s(values.astype(np.uint64))
+            ref_levels = native.merkle_levels(digests)
+            assert tree.root.data == ref_levels[-1][0].tobytes()
+            # Host-materialized levels are unpermuted back to natural.
+            assert np.array_equal(tree.levels[0], ref_levels[0])
+            assert np.array_equal(tree.levels[1], ref_levels[1])
+            assert np.array_equal(tree.levels[2], ref_levels[2])
+            assert tree.leaf(12345).data == digests[12345].tobytes()
+
+        idxs = [0, 1, 2, 77777, n // 2, n - 1]
+        paths = tree.open_batch(idxs)
+        for i, p in zip(idxs, paths):
+            leaf = Hash.from_field_elements([int(values[i])])
+            assert MerkleTree.verify(leaf, i, p, tree.root), i
