@@ -74,6 +74,38 @@ def _chain_time(step, x0, k1=2, k2=12, reps=3, floor_s=2e-5):
     return dt
 
 
+def _robust_best(runs, max_extra=5, outlier=2.5):
+    """Relay-robust best-of wall timing over a SET of workloads,
+    interleaved.
+
+    ``runs``: dict name -> (thunk, floor_s, min_reps).  Each round times
+    every still-active workload once (interleaving spreads relay
+    congestion windows across metrics instead of sinking one).  A
+    workload stays active until it has min_reps samples AND its best is
+    within ``outlier``x its physical floor (device exec + transfer + RTT,
+    measured via scripts/profile_prove.py and documented at the call
+    site) — or until min_reps + max_extra samples, whichever first.
+    Returns dict name -> (best_s, n_reps); n_reps > min_reps flags that
+    relay stalls were being ridden out (recorded in extras so a depressed
+    number is self-explaining).
+    """
+    best = {k: float("inf") for k in runs}
+    n = {k: 0 for k in runs}
+    active = set(runs)
+    while active:
+        for k in list(active):
+            thunk, floor_s, min_reps = runs[k]
+            t0 = time.perf_counter()
+            thunk()
+            best[k] = min(best[k], time.perf_counter() - t0)
+            n[k] += 1
+            if n[k] >= min_reps and (
+                best[k] <= outlier * floor_s or n[k] >= min_reps + max_extra
+            ):
+                active.discard(k)
+    return {k: (best[k], n[k]) for k in runs}
+
+
 def _host_numpy_ntt(x: np.ndarray) -> float:
     """Timed host-CPU radix-2 NTT (the in-tree numpy engine — numerically
     correct and cross-checked against the device NTT in tests)."""
@@ -240,28 +272,39 @@ def main() -> None:
         trace = fibonacci_trace_mod_p(T)
         prover = StarkProver(air, cfg)
         proof = prover.prove(trace)  # compile + warm
-        # Best-of-3: single timed runs through the relay draw occasional
-        # multi-hundred-ms scheduling stalls (measured 0.07 -> 1.5 s
-        # outliers on an otherwise idle box).
-        t_prove = float("inf")
-        for _ in range(3):
-            timer = PhaseTimer()
-            t0 = time.perf_counter()
-            proof = prover.prove(trace, timer=timer)
-            dt = time.perf_counter() - t0
-            if dt < t_prove:
-                t_prove = dt
-                extras["prove_phases_ms"] = timer.ms()
         verifier = StarkVerifier(air, cfg)
         assert verifier.verify(proof)
-        t_verify = float("inf")
-        for _ in range(3):
+
+        # Relay-robust interleaved best-of (see _robust_best): floors are
+        # the device-exec + transfer + relay-RTT attributions from
+        # scripts/profile_prove.py (NOTES round-4/5: T=2^14 prove = 17 ms
+        # exec + 7 transfer + 30 RTT).  Samples beyond min_reps mean the
+        # harness was riding out relay stalls — reported in extras.
+        phase_box = {}
+
+        def prove_once():
+            timer = PhaseTimer()
             t0 = time.perf_counter()
-            verifier.verify(proof)
-            t_verify = min(t_verify, time.perf_counter() - t0)
-        extras["prove_T2e14_s"] = round(t_prove, 3)
-        extras["verify_T2e14_s"] = round(t_verify, 3)
+            prover.prove(trace, timer=timer)
+            dt = time.perf_counter() - t0
+            if dt < phase_box.get("best", float("inf")):
+                phase_box["best"] = dt
+                phase_box["phases"] = timer.ms()
+
+        res = _robust_best(
+            {
+                "prove": (prove_once, 0.050, 3),
+                "verify": (lambda: verifier.verify(proof), 0.004, 3),
+            }
+        )
+        extras["prove_phases_ms"] = phase_box["phases"]
+        extras["prove_T2e14_s"] = round(res["prove"][0], 3)
+        extras["verify_T2e14_s"] = round(res["verify"][0], 3)
         extras["proof_bytes_T2e14"] = len(proof)
+        reps_used = {
+            "prove_T2e14": res["prove"][1],
+            "verify_T2e14": res["verify"][1],
+        }
 
         # Batched throughput (the serving mode) — only when the persistent
         # compile cache is warm, so a cold driver run stays bounded.
@@ -282,34 +325,144 @@ def main() -> None:
             B = 8
             bp = BatchStarkProver(air, cfg, B)
             bp.prove_batch([trace] * B)  # compile + warm
-            t_batch = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                bp.prove_batch([trace] * B)
-                t_batch = min(t_batch, time.perf_counter() - t0)
-            extras["batch8_proofs_per_s"] = round(B / t_batch, 2)
-
             # Pipelined serving (prove_many, depth 2): device executes
-            # batch k+1 while the host fetches/emits batch k.
-            NB = 4
-            t_pm = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                bp.prove_many([trace] * (NB * B), depth=2)
-                t_pm = min(t_pm, time.perf_counter() - t0)
-            extras["pipeline_proofs_per_s"] = round(NB * B / t_pm, 2)
+            # batch k+1 while the host fetches/emits batch k.  B=32 is
+            # the round-4 serving headline configuration.
+            B32 = 32
+            bp32 = BatchStarkProver(air, cfg, B32)
+            bp32.prove_batch([trace] * B32)  # compile + warm
+            res_b = _robust_best(
+                {
+                    "batch8": (
+                        lambda: bp.prove_batch([trace] * B),
+                        0.10,
+                        3,
+                    ),
+                    "pipe8x4": (
+                        lambda: bp.prove_many([trace] * (4 * B), depth=2),
+                        0.40,
+                        2,
+                    ),
+                    "pipe32x2": (
+                        lambda: bp32.prove_many(
+                            [trace] * (2 * B32), depth=2
+                        ),
+                        0.45,
+                        2,
+                    ),
+                }
+            )
+            extras["batch8_proofs_per_s"] = round(B / res_b["batch8"][0], 2)
+            extras["pipeline_proofs_per_s"] = round(
+                4 * B / res_b["pipe8x4"][0], 2
+            )
+            extras["pipeline_b32_proofs_per_s"] = round(
+                2 * B32 / res_b["pipe32x2"][0], 2
+            )
+            reps_used.update(
+                {k: v[1] for k, v in res_b.items()}
+            )
 
         # Amortized batch verification (serving symmetry: one native
         # path-authentication call across the batch).
         vproofs = [proof] * 8
-        verifier.verify_batch(vproofs)  # warm
-        t_vb = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            ok = verifier.verify_batch(vproofs)
-            t_vb = min(t_vb, time.perf_counter() - t0)
+        ok = verifier.verify_batch(vproofs)  # warm
         assert all(ok)
-        extras["verify_batch8_proofs_per_s"] = round(8 / t_vb, 2)
+        res_vb = _robust_best(
+            {"verify_batch8": (lambda: verifier.verify_batch(vproofs), 0.02, 3)}
+        )
+        extras["verify_batch8_proofs_per_s"] = round(
+            8 / res_vb["verify_batch8"][0], 2
+        )
+
+        # ---- Headline large-scale workloads (BASELINE configs 4/5 and
+        # the MDS flagship) — warm-cache-guarded like the batch block so
+        # a cold driver run stays bounded.  Floors: NOTES round-5
+        # attributions (capstone exec 60.6 ms + ~14 transfer + ~30 RTT;
+        # max-size scales ~2x; MDS witness ~6 ms C walk + prove).
+        if warm:
+            from stark_tpu.models.fibonacci import (
+                fibonacci_trace_cols_device,
+            )
+            from stark_tpu.models.examples import (
+                MdsSquareAir,
+                mds_square_trace_cols_device,
+            )
+
+            # Config 4 capstone: T=2^20, N=2^22.
+            T20 = 1 << 20
+            cfg20 = StarkConfig(
+                trace_length=T20, blowup=4, num_colinearity_tests=16
+            )
+            pr20 = StarkProver(air, cfg20)
+            p20 = pr20.prove(trace_cols=fibonacci_trace_cols_device(T20))
+            v20 = StarkVerifier(air, cfg20)
+            assert v20.verify(p20)
+            cap_box = {}
+
+            def cap_once():
+                timer = PhaseTimer()
+                t0 = time.perf_counter()
+                pr20.prove(
+                    trace_cols=fibonacci_trace_cols_device(T20), timer=timer
+                )
+                dt = time.perf_counter() - t0
+                if dt < cap_box.get("best", float("inf")):
+                    cap_box["best"] = dt
+                    cap_box["phases"] = timer.ms()
+
+            # Max size: T=2^21, N=2^23 — the field's 2-adicity cap
+            # (BASELINE.md: p = 119*2^23+1; a bigger domain cannot exist).
+            T21 = 1 << 21
+            cfg21 = StarkConfig(
+                trace_length=T21, blowup=4, num_colinearity_tests=16
+            )
+            pr21 = StarkProver(air, cfg21)
+            p21 = pr21.prove(trace_cols=fibonacci_trace_cols_device(T21))
+
+            # MDS flagship e2e: witness generation + prove (T=2^16, c=8).
+            T16 = 1 << 16
+            cfg16 = StarkConfig(
+                trace_length=T16, blowup=4, num_colinearity_tests=16
+            )
+            mair = MdsSquareAir()
+            prm = StarkProver(mair, cfg16)
+            pm = prm.prove(trace_cols=mds_square_trace_cols_device(T16))
+            assert StarkVerifier(mair, cfg16).verify(pm)
+
+            res_l = _robust_best(
+                {
+                    "cap_prove": (cap_once, 0.110, 3),
+                    "cap_verify": (lambda: v20.verify(p20), 0.030, 3),
+                    "max_prove": (
+                        lambda: pr21.prove(
+                            trace_cols=fibonacci_trace_cols_device(T21)
+                        ),
+                        0.170,
+                        2,
+                    ),
+                    "mds_e2e": (
+                        lambda: prm.prove(
+                            trace_cols=mds_square_trace_cols_device(T16)
+                        ),
+                        0.055,
+                        3,
+                    ),
+                }
+            )
+            extras["capstone_prove_T2e20_s"] = round(res_l["cap_prove"][0], 3)
+            extras["capstone_verify_T2e20_s"] = round(
+                res_l["cap_verify"][0], 3
+            )
+            extras["capstone_phases_ms"] = cap_box["phases"]
+            extras["capstone_proof_bytes"] = len(p20)
+            extras["max_prove_T2e21_s"] = round(res_l["max_prove"][0], 3)
+            extras["max_proof_bytes"] = len(p21)
+            extras["mds_e2e_T2e16_s"] = round(res_l["mds_e2e"][0], 3)
+            extras["mds_proof_bytes"] = len(pm)
+            reps_used.update({k: v[1] for k, v in res_l.items()})
+
+        extras["timing_reps"] = reps_used
 
     result = {
         "metric": "NTT points/s/chip at 2^22",
