@@ -148,3 +148,41 @@ class TestFusedTailTrees:
         for i, p in zip(idxs, paths):
             leaf = Hash.from_field_elements([int(values[i])])
             assert MerkleTree.verify(leaf, i, p, tree.root), i
+
+
+def test_semirev_position_maps_agree():
+    """The three semirev index maps must agree: the device-traceable
+    _semirev_pos, the host _semirev_host sigma array, and a brute-force
+    string-reversal model — for every (K, lgF) combination a tree up to
+    2^10 leaves with a 2^4 cutover can produce."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stark_tpu.merkle import _semirev_host, _semirev_pos
+
+    for K in range(0, 5):
+        for lgF in range(1, 5):
+            W = 1 << (K + lgF)
+            idx = np.arange(W)
+            sigma = _semirev_host(K, lgF)
+            dev = np.asarray(
+                _semirev_pos(jnp.asarray(idx, jnp.int32), K, lgF)
+            )
+            brute = np.array(
+                [
+                    (
+                        (
+                            int(format(j & ((1 << K) - 1), f"0{K}b")[::-1], 2)
+                            if K
+                            else 0
+                        )
+                        << lgF
+                    )
+                    | (j >> K)
+                    for j in idx
+                ]
+            )
+            assert np.array_equal(sigma, brute), (K, lgF)
+            assert np.array_equal(dev, brute), (K, lgF)
+            # sigma is a permutation (bijective storage map)
+            assert len(set(sigma.tolist())) == W
