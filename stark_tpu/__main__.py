@@ -44,10 +44,23 @@ def _prove(args) -> int:
         blowup=args.blowup,
         num_colinearity_tests=args.queries,
     )
-    trace = trace_fn(args.trace_length)
+    # Serving path: fib/mds witnesses generate on device / the C scalar
+    # engine (bytes identical to the host rows — pinned by parity tests);
+    # --host-witness forces the reference-shaped host generator.
+    kw = {}
+    if not args.host_witness and args.model == "fib":
+        from stark_tpu.models.fibonacci import fibonacci_trace_cols_device
+
+        kw["trace_cols"] = fibonacci_trace_cols_device(args.trace_length)
+    elif not args.host_witness and args.model == "mds":
+        from stark_tpu.models.examples import mds_square_trace_cols_device
+
+        kw["trace_cols"] = mds_square_trace_cols_device(args.trace_length)
+    else:
+        kw["trace_rows"] = trace_fn(args.trace_length)
     prover = StarkProver(air, cfg)
     t0 = time.time()
-    proof = prover.prove(trace)
+    proof = prover.prove(**kw)
     dt = time.time() - t0
     with open(args.out, "wb") as f:
         f.write(proof)
@@ -140,6 +153,12 @@ def main(argv=None) -> int:
     pp.add_argument("--blowup", type=int, default=4)
     pp.add_argument("--queries", type=int, default=16)
     pp.add_argument("--out", default="proof.bin")
+    pp.add_argument(
+        "--host-witness",
+        action="store_true",
+        help="force the host trace generator (default: fib/mds witnesses "
+        "generate on device / the C scalar engine; bytes identical)",
+    )
 
     pv = sub.add_parser("verify", help="verify a proof file")
     pv.add_argument("proof")
