@@ -759,6 +759,18 @@ class BatchStarkProver:
             )
 
         packed = run(jnp.zeros((B, k), jnp.uint32), False)
+        if self.mesh is None:
+            # Start the device->host transfer NOW (async; begins as soon
+            # as the device graph finishes): in the prove_many pipeline
+            # batch k+1's packed buffer then streams over the relay while
+            # the host is still replaying/emitting batch k, so the later
+            # fetch is a wait on an in-flight copy instead of a cold
+            # round trip.  Sharded arrays skip this (non-addressable
+            # shards fetch through the replicate-at-fetch path).
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - older jax.Array
+                pass
         return packed, run, key
 
     def _mega_finish(self, state) -> list[bytes]:

@@ -884,6 +884,16 @@ class Fri:
                 )
 
             packed = run_mega(jnp.zeros((number,), jnp.uint32), False)
+            # Kick off the device->host copy asynchronously: it streams
+            # while the spec below is built (cold: tens of ms of
+            # eval_shape) and the transfer wait in fri_fetch shrinks to
+            # the remainder.  Cross-process shards go through the
+            # replicate-at-fetch path instead.
+            if getattr(packed, "is_fully_addressable", True):
+                try:
+                    packed.copy_to_host_async()
+                except AttributeError:  # pragma: no cover
+                    pass
 
             # Host-side unpack spec (static layout of the packed buffer).
             # Cached per structure: the eval_shape trace of the extra
