@@ -15,6 +15,15 @@ resident for :meth:`MerkleTree.open_batch_dev` path gathers.
 
 The produced level bytes are identical to the single-device / scalar
 construction, so roots, openings and proof bytes are host-count-invariant.
+
+Perf note (round 5): the single-device builder stores wide levels in
+SEMIREV order so every combine takes contiguous halves (~2x faster than
+the stride-2 deinterleave — merkle._finish_device).  The same transform
+applies PER SHARD here (each shard's slice is a contiguous subtree, so a
+shard-local semirev with position map shard_base | semirev_local would
+keep bytes identical), but per-shard device-exec cannot be measured on
+this one-chip deployment, so the sharded levels stay in natural order;
+apply the local-semirev variant when real multi-chip profiling exists.
 """
 
 from __future__ import annotations
