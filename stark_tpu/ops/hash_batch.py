@@ -678,10 +678,6 @@ _row_hash_rows = (
     jax.jit(row_hash_rows_core),
     jax.jit(functools.partial(row_hash_rows_core, rolled=True)),
 )
-_level_rows = (
-    jax.jit(level_rows_core),
-    jax.jit(functools.partial(level_rows_core, rolled=True)),
-)
 _level_rows_halves = (
     jax.jit(level_rows_halves_core),
     jax.jit(functools.partial(level_rows_halves_core, rolled=True)),
@@ -697,11 +693,6 @@ def leaf_hash_rows(values2d):
 def row_hash_rows(cols):
     n = int(cols.shape[1]) * int(cols.shape[2])
     return _row_hash_rows[n <= FUSE_MAX_WIDTH](cols)
-
-
-def level_rows(rows):
-    n = int(rows[0].shape[0]) * int(rows[0].shape[1])
-    return _level_rows[n <= FUSE_MAX_WIDTH](rows)
 
 
 def level_rows_halves(rows):
