@@ -292,3 +292,41 @@ class TestDeviceChainedCommit:
         p_classic, t_classic = run(False)
         assert p_chain == p_classic
         assert t_chain == t_classic
+
+
+    @pytest.mark.slow
+    def test_chain_matches_classic_commit_wide(self):
+        """Same byte-identity at a width with WIDE (> FUSE_MAX_WIDTH)
+        round trees: the classic path's _query_gather_fn must map the
+        semirev-stored pre levels exactly like the chained mega does
+        (round-5 layout; both paths vs each other pins it)."""
+        import jax.numpy as jnp
+        from stark_tpu.ops import ntt as NTT
+        from stark_tpu.ops import hash_batch as HB
+        from stark_tpu.ops.fieldops import primitive_nth_root
+        from stark_tpu.stream import ProofStream
+        from stark_tpu.transcript import FiatShamir
+
+        n = 2 * HB.FUSE_MAX_WIDTH  # round-0 tree has one semirev level
+        rng = np.random.default_rng(29)
+        coeffs = np.zeros(n, dtype=np.uint32)
+        coeffs[: n // 4] = rng.integers(0, P, size=n // 4, dtype=np.uint32)
+        codeword = NTT.coset_eval(coeffs, 3)
+
+        def run(chain: bool):
+            fri = Fri(
+                omega=primitive_nth_root(n),
+                offset=3,
+                domain_length=n,
+                expansion_factor=4,
+                num_colinearity_tests=4,
+            )
+            fri.device_chain = chain
+            fs, stream = FiatShamir(), ProofStream()
+            fri.prove(jnp.asarray(codeword), fs, stream)
+            return stream.serialize(), bytes(fs.transcript)
+
+        p_chain, t_chain = run(True)
+        p_classic, t_classic = run(False)
+        assert p_chain == p_classic
+        assert t_chain == t_classic
