@@ -281,6 +281,27 @@ class MerkleTree:
         return tree
 
     @staticmethod
+    def from_leaf_digests_semirev(leaf_rows) -> "MerkleTree":
+        """Wide full-device tree from leaf digests ALREADY in semirev-K0
+        storage (K0 = log2(W / FUSE_MAX_WIDTH)) — the producer fused the
+        permute into its own value reads (hash_batch.row_hash_rows_semirev
+        moves c*4 B/lane instead of the 32 digest planes).  Otherwise
+        identical to :meth:`_finish_device`'s wide branch."""
+        W = _rows_width(leaf_rows)
+        assert W > HB.FUSE_MAX_WIDTH, "narrow trees take _finish_device"
+        dev = [leaf_rows]
+        while _rows_width(dev[-1]) > HB.FUSE_MAX_WIDTH:
+            dev.append(HB.level_rows_halves(dev[-1]))
+        n_pre = len(dev)
+        root, stack = HB.tail_levels_light(dev[-1])
+        tree = MerkleTree(_dev_levels=tuple(dev))
+        tree._bitrev_pre = True
+        tree._root_bytes_dev_cached = root
+        tree._tail_stack = stack
+        tree._tail_first = n_pre
+        return tree
+
+    @staticmethod
     def from_leaf_values_full_device(values) -> "MerkleTree":
         """ALL levels (including the root) built and kept on device — no
         host synchronization at all.  Used by the device-chained FRI commit,

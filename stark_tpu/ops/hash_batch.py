@@ -723,6 +723,28 @@ def leaf_hash_rows_semirev(values, K: int):
     return _leaf_hash_semirev_fn(int(values.shape[0]), K)(values)
 
 
+@functools.lru_cache(maxsize=None)
+def _row_hash_semirev_fn(c: int, n: int, K: int):
+    """Row hash with semirev-K output order, fused as a per-register
+    value permute — c*4 B/lane moved instead of the 32 digest planes
+    (8x less for the c=1 trace-tree capstone)."""
+
+    def fn(cols):  # (c, n) u32
+        v3d = jnp.stack(
+            [_semirev_flat(cols[r], K) for r in range(c)]
+        ).reshape(c, n // LANE, LANE)
+        return row_hash_rows_core(v3d, rolled=n <= FUSE_MAX_WIDTH)
+
+    return jax.jit(fn)
+
+
+def row_hash_rows_semirev(cols2d, K: int):
+    """(c, n) u32 trace columns -> row-digest row-tuple in semirev-K
+    storage (leaf j = Hash::from_field_elements of column rev-position j)."""
+    c, n = cols2d.shape
+    return _row_hash_semirev_fn(int(c), int(n), K)(cols2d)
+
+
 # ---------------------------------------------------------------------------
 # Device-resident transcript hashing (the FRI commit chain).
 #

@@ -346,6 +346,14 @@ class StarkProver:
         # Device-resident build: row digests and all levels stay on device
         # (tile-native row-tuple layout); only the root crosses to host.
         c, N = trace_lde.shape
+        if N > HB.FUSE_MAX_WIDTH:
+            # Wide tree: hash the rows straight into semirev storage (the
+            # permute rides the c*4 B/lane value reads, not the 32 digest
+            # planes — measured 2.5 ms of digest movement at N=2^22, c=1).
+            K0 = N.bit_length() - HB.FUSE_MAX_WIDTH.bit_length()
+            return MerkleTree.from_leaf_digests_semirev(
+                HB.row_hash_rows_semirev(jnp.asarray(trace_lde), K0)
+            )
         if N >= 1024:
             cols3d = jnp.asarray(trace_lde).reshape(c, N // HB.LANE, HB.LANE)
             return MerkleTree.from_leaf_digests(HB.row_hash_rows(cols3d))
