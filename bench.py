@@ -437,7 +437,7 @@ def main() -> None:
 
             res_l = _robust_best(
                 {
-                    "cap_prove": (cap_once, 0.110, 3),
+                    "cap_prove": (cap_once, 0.100, 3),
                     "cap_verify": (lambda: v20.verify(p20), 0.030, 3),
                     "max_prove": (
                         lambda: pr21.prove(
