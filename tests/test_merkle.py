@@ -186,3 +186,32 @@ def test_semirev_position_maps_agree():
             assert np.array_equal(dev, brute), (K, lgF)
             # sigma is a permutation (bijective storage map)
             assert len(set(sigma.tolist())) == W
+
+
+@pytest.mark.slow
+def test_row_hash_semirev_tree_matches_natural_multi_register():
+    """Wide trace tree via the fused semirev row hash (c > 1) must equal
+    the natural-order build: same root, same opened paths — the c=8 MDS
+    flagship's trace commitment takes exactly this path at N > 2^16."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stark_tpu.ops import hash_batch as HB
+
+    rng = np.random.default_rng(11)
+    c, n = 3, 2 * HB.FUSE_MAX_WIDTH
+    cols = rng.integers(0, 998244353, size=(c, n), dtype=np.uint32)
+
+    K0 = n.bit_length() - HB.FUSE_MAX_WIDTH.bit_length()
+    t_semi = MerkleTree.from_leaf_digests_semirev(
+        HB.row_hash_rows_semirev(jnp.asarray(cols), K0)
+    )
+    t_nat = MerkleTree.from_leaf_digests(
+        HB.row_hash_rows(jnp.asarray(cols).reshape(c, -1, HB.LANE))
+    )
+    assert t_semi.root == t_nat.root
+    idxs = [0, 1, 12345, n // 2, n - 1]
+    assert t_semi.open_batch(idxs) == t_nat.open_batch(idxs)
+    for i in idxs:
+        leaf = Hash.from_field_elements([int(v) for v in cols[:, i]])
+        assert MerkleTree.verify(leaf, i, t_semi.open(i), t_semi.root), i
