@@ -464,7 +464,10 @@ def _tail_levels_core(leaf_rows):
 #: wasted full-padded-width combines cost ~SEG*W instead of log2(W)*W —
 #: measured 2.3 ms per 2^16-wide tree tail before segmenting (the
 #: dominant device cost of the wide commit rounds, profile_prove.py).
-_TAIL_SEG = 4
+#: Round-5 A/B at the config-4 capstone: SEG=2 -> 56.7 ms device exec
+#: union vs SEG=4 -> 58.5 (tighter compaction beats the extra loop
+#: boundaries); SEG=8 -> ~2.4x worse on the isolated 2^16 tail.
+_TAIL_SEG = 2
 
 
 def _tail_loop(leaf_rows, L: int):
