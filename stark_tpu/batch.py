@@ -611,7 +611,24 @@ class BatchStarkProver:
             and self.cfg.num_colinearity_tests <= reduced
         )
 
-    def prove_batch(self, traces: list[list[list[int]]]) -> list[bytes]:
+    def _cols_stack(self, traces, traces_cols):
+        """(B, c, T) uint32 column stack from EITHER host rows (reference
+        trace.rs:29-34 ingestion) or prover-ready (c, T) column arrays —
+        the latter may be device-resident (e.g. the flagship witness
+        generators, models/examples.mds_square_trace_cols_device), in
+        which case no witness bytes cross host->device."""
+        if traces_cols is not None:
+            assert traces is None, "pass traces OR traces_cols, not both"
+            assert len(traces_cols) == self.B
+            return jnp.stack(
+                [jnp.asarray(c, dtype=jnp.uint32) for c in traces_cols]
+            )
+        assert len(traces) == self.B
+        return np.stack([trace_cols_u32(t) for t in traces])
+
+    def prove_batch(
+        self, traces=None, *, traces_cols=None
+    ) -> list[bytes]:
         """Single-fetch mega path when the shapes admit it (single host
         fetch for the whole batch); classic 3-fetch path otherwise
         (sub-lane-tile domains, hostile configs, meshes that don't divide
@@ -624,13 +641,17 @@ class BatchStarkProver:
         the one packed fetch (proofs are independent; the forest rows,
         transcripts, sampler state and gathers are all batch-major).
         This is the production serving layout: throughput scales
-        linearly in D.  Bytes identical either way (tested)."""
+        linearly in D.  Bytes identical either way (tested).
+
+        ``traces``: B host row-traces; or ``traces_cols``: B prover-ready
+        (c, T) uint32 column arrays (may be device-resident — the
+        flagship serving path; see _cols_stack)."""
         if self._mega_ok():
-            return self._prove_batch_mega(traces)
-        return self._prove_batch_classic(traces)
+            return self._prove_batch_mega(traces, traces_cols)
+        return self._prove_batch_classic(traces, traces_cols)
 
     def prove_many(
-        self, traces: list[list[list[int]]], depth: int = 2
+        self, traces=None, depth: int = 2, *, traces_cols=None
     ) -> list[bytes]:
         """Pipelined serving: prove any number of same-shape traces in
         batches of B, keeping up to ``depth`` batches in flight.
@@ -657,18 +678,26 @@ class BatchStarkProver:
         import collections
 
         B = self.B
-        n = len(traces)
+        use_cols = traces_cols is not None
+        items = traces_cols if use_cols else traces
+        n = len(items)
         if n == 0:
             return []
         chunks = []
         for i in range(0, n, B):
-            chunk = list(traces[i : i + B])
+            chunk = list(items[i : i + B])
             pad = B - len(chunk)
             chunks.append((pad, chunk + [chunk[-1]] * pad))
+
+        def kw(chunk):
+            return (
+                {"traces_cols": chunk} if use_cols else {"traces": chunk}
+            )
+
         if not self._mega_ok():
             out: list[bytes] = []
             for pad, chunk in chunks:
-                proofs = self.prove_batch(chunk)
+                proofs = self.prove_batch(**kw(chunk))
                 out.extend(proofs[: B - pad])
             return out
 
@@ -676,7 +705,7 @@ class BatchStarkProver:
         inflight: collections.deque = collections.deque()
         out = []
         for pad, chunk in chunks:
-            inflight.append((pad, self._mega_dispatch(chunk)))
+            inflight.append((pad, self._mega_dispatch(**kw(chunk))))
             if len(inflight) >= depth + 1:
                 pad0, st = inflight.popleft()
                 out.extend(self._mega_finish(st)[: B - pad0])
@@ -685,11 +714,11 @@ class BatchStarkProver:
             out.extend(self._mega_finish(st)[: B - pad0])
         return out
 
-    def _prove_batch_mega(self, traces) -> list[bytes]:
+    def _prove_batch_mega(self, traces, traces_cols=None) -> list[bytes]:
         """B proofs with ONE device fetch: dispatch then finish."""
-        return self._mega_finish(self._mega_dispatch(traces))
+        return self._mega_finish(self._mega_dispatch(traces, traces_cols))
 
-    def _mega_dispatch(self, traces):
+    def _mega_dispatch(self, traces=None, traces_cols=None):
         """Queue the whole batch's device work (LDE + mega graph) and
         return the in-flight state; does NOT block on the device.
         Everything from the trace LDE to the packed buffer runs inside
@@ -700,7 +729,6 @@ class BatchStarkProver:
         from stark_tpu.fri import _SAMPLE_SLACK
 
         B, cfg, d = self.B, self.cfg, self._single.dom
-        assert len(traces) == B
         fri = self.fri
         rounds = fri.num_rounds()
         k = cfg.num_colinearity_tests
@@ -711,7 +739,7 @@ class BatchStarkProver:
         M = 2 * k + _SAMPLE_SLACK
 
         # 1. LDE (batched; the only dispatches outside the mega jit).
-        cols = np.stack([trace_cols_u32(t) for t in traces])
+        cols = self._cols_stack(traces, traces_cols)
         coeffs = NTT.intt(cols)
         trace_lde = NTT.lde(coeffs, cfg.blowup, d.offset)   # (B, c, N)
         if self.mesh is not None:
@@ -910,18 +938,15 @@ class BatchStarkProver:
 
         return [s.serialize() for s in streams]
 
-    def _prove_batch_classic(self, traces: list[list[list[int]]]) -> list[bytes]:
+    def _prove_batch_classic(self, traces, traces_cols=None) -> list[bytes]:
         B, cfg, d = self.B, self.cfg, self._single.dom
-        assert len(traces) == B
         field = FiniteField()
         fri = self.fri
         rounds = fri.num_rounds()
         k = cfg.num_colinearity_tests
 
         # 1-2. LDE + trace commitment (batched).
-        cols = np.stack(
-            [trace_cols_u32(t) for t in traces]
-        )                                                   # (B, c, T)
+        cols = self._cols_stack(traces, traces_cols)        # (B, c, T)
         coeffs = NTT.intt(self._place_cols(cols))
         trace_lde = NTT.lde(coeffs, cfg.blowup, d.offset)   # (B, c, N)
         trace_forest = BatchedTrees.from_rows(

@@ -220,3 +220,30 @@ def test_batch_mixed_width_airs_same_shape():
     a_narrow = run(SquareAir, square_trace)
     assert run(SquareAir, square_trace) == a_narrow
     assert run(TwoRegisterFibonacciAir, two_register_fibonacci_trace) == a_wide
+
+
+def test_batch_device_cols_matches_rows():
+    """Serving the flagship: prove_batch/prove_many accept device-resident
+    (c, T) column witnesses (traces_cols) and must be byte-identical to
+    the host-rows ingestion and to single-prover runs."""
+    from stark_tpu.models.examples import (
+        MdsSquareAir,
+        mds_square_trace,
+        mds_square_trace_cols_device,
+    )
+
+    B, T = 4, 64
+    cfg = StarkConfig(trace_length=T, blowup=4, num_colinearity_tests=4)
+    air = MdsSquareAir()
+    rows = mds_square_trace(T)
+    cols = mds_square_trace_cols_device(T, block=16)
+
+    single = StarkProver(air, cfg).prove(trace_cols=cols)
+    bp = BatchStarkProver(air, cfg, B)
+    via_cols = bp.prove_batch(traces_cols=[cols] * B)
+    via_rows = bp.prove_batch([rows] * B)
+    assert via_cols == via_rows
+    assert all(p == single for p in via_cols)
+    many = bp.prove_many(traces_cols=[cols] * (B + 2), depth=2)
+    assert len(many) == B + 2 and all(p == single for p in many)
+    assert StarkVerifier(air, cfg).verify(via_cols[0])
