@@ -74,7 +74,15 @@ def _chain_time(step, x0, k1=2, k2=12, reps=3, floor_s=2e-5):
     return dt
 
 
-def _robust_best(runs, max_extra=5, outlier=2.5):
+
+def _mark(msg: str) -> None:
+    """Progress timestamps on stderr (driver captures stdout only) —
+    attributes fixed warm-up/tracing costs when a run blows its budget."""
+    _mark.t0 = getattr(_mark, "t0", time.perf_counter())
+    print(f"[bench t+{time.perf_counter() - _mark.t0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+def _robust_best(runs, max_extra=5, outlier=2.5, deadline=None):
     """Relay-robust best-of wall timing over a SET of workloads,
     interleaved.
 
@@ -88,6 +96,11 @@ def _robust_best(runs, max_extra=5, outlier=2.5):
     Returns dict name -> (best_s, n_reps); n_reps > min_reps flags that
     relay stalls were being ridden out (recorded in extras so a depressed
     number is self-explaining).
+
+    ``deadline`` (perf_counter value): once past it, workloads stop after
+    min_reps even if still above their outlier threshold — under heavy
+    relay congestion the stall-riding reps compound exactly when the run
+    is already slow, and a bounded bench beats a perfect one.
     """
     best = {k: float("inf") for k in runs}
     n = {k: 0 for k in runs}
@@ -99,8 +112,11 @@ def _robust_best(runs, max_extra=5, outlier=2.5):
             thunk()
             best[k] = min(best[k], time.perf_counter() - t0)
             n[k] += 1
+            over = deadline is not None and time.perf_counter() > deadline
             if n[k] >= min_reps and (
-                best[k] <= outlier * floor_s or n[k] >= min_reps + max_extra
+                over
+                or best[k] <= outlier * floor_s
+                or n[k] >= min_reps + max_extra
             ):
                 active.discard(k)
     return {k: (best[k], n[k]) for k in runs}
@@ -136,6 +152,10 @@ def _backend_reachable(timeout_s: int = 120) -> bool:
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    # Soft wall budget for stall-riding extra reps (see _robust_best):
+    # warm-cache runs finish in ~6-8 min; past this point every workload
+    # settles for its min_reps best.
+    deadline = time.perf_counter() + 480
     import jax
 
     if not _backend_reachable():
@@ -161,10 +181,16 @@ def main() -> None:
     # beyond _NTT_STALL_S at 2^22 is a congested relay window (measured
     # best 0.42-0.48 ms, typical <= 0.65 across rounds), not the kernel —
     # re-measure up to twice and keep the best.
+    # Per-engine thresholds: the strict Stockham chain legitimately runs
+    # ~1.0-1.1 ms (not the scored config when lazy wins), the lazy fused
+    # kernel 0.42-0.65 ms — a shared 0.7 ms threshold made the strict
+    # chain ALWAYS re-measure 3x (~50 s of warm-up for nothing).
     _NTT_STALL_S = 0.7e-3
+    _NTT_STALL_STRICT_S = 1.3e-3
+    _mark("ntt chain (strict)")
     t_ntt = float("inf")
     ntt_tries = 0
-    while ntt_tries < 3 and t_ntt > _NTT_STALL_S:
+    while ntt_tries < 3 and t_ntt > _NTT_STALL_STRICT_S:
         t_ntt = min(
             t_ntt,
             _chain_time(NTT.ntt, xd, k2=6 if quick else 12, floor_s=1e-4),
@@ -194,6 +220,7 @@ def main() -> None:
             jnp.array_equal(NTT.ntt(xd), lazy_step(xd)).block_until_ready()
         )
         if same:
+            _mark("ntt chain (lazy)")
             t_lazy = float("inf")
             tries = 0
             while tries < 3 and t_lazy > _NTT_STALL_S:
@@ -225,6 +252,7 @@ def main() -> None:
     if not quick:
         # FRI fold at 2^22 (per-round hot op besides hashing); the double-up
         # keeps the chain shape-stable (~0.05 ms concat overhead included).
+        _mark("fold/hash primitives")
         from stark_tpu.fri import Fri
         from stark_tpu.ops.fieldops import primitive_nth_root
 
@@ -293,6 +321,7 @@ def main() -> None:
         )
         air = FibonacciAir()
         trace = fibonacci_trace_mod_p(T)
+        _mark("T=2^14 prove warm-up")
         prover = StarkProver(air, cfg)
         proof = prover.prove(trace)  # compile + warm
         verifier = StarkVerifier(air, cfg)
@@ -315,7 +344,8 @@ def main() -> None:
                 phase_box["phases"] = timer.ms()
 
         res = _robust_best(
-            {
+            deadline=deadline,
+            runs={
                 "prove": (prove_once, 0.050, 3),
                 "verify": (lambda: verifier.verify(proof), 0.004, 3),
             }
@@ -328,6 +358,30 @@ def main() -> None:
             "prove_T2e14": res["prove"][1],
             "verify_T2e14": res["verify"][1],
         }
+
+        def _emit_progressive():
+            # Progressive emits: minutes of uncacheable warm-up tracing
+            # separate the measurement blocks; each emit leaves a complete
+            # JSON line in the tail in case an external timeout kills the
+            # run mid-block (consumers parse the LAST line printed).
+            print(
+                json.dumps(
+                    {
+                        "metric": "NTT points/s/chip at 2^22",
+                        "value": round(points_per_s, 0),
+                        "unit": "points/s",
+                        "vs_baseline": round(points_per_s / host_pps, 2),
+                        "extras": {
+                            **extras,
+                            "timing_reps": dict(reps_used),
+                            "preliminary": True,
+                        },
+                    }
+                ),
+                flush=True,
+            )
+
+        _emit_progressive()
 
         # Batched throughput (the serving mode) — only when the persistent
         # compile cache is warm, so a cold driver run stays bounded.
@@ -346,16 +400,20 @@ def main() -> None:
             from stark_tpu.batch import BatchStarkProver
 
             B = 8
+            _mark("batch B=8 warm-up")
             bp = BatchStarkProver(air, cfg, B)
             bp.prove_batch([trace] * B)  # compile + warm
             # Pipelined serving (prove_many, depth 2): device executes
             # batch k+1 while the host fetches/emits batch k.  B=32 is
             # the round-4 serving headline configuration.
             B32 = 32
+            _mark("batch B=32 warm-up")
             bp32 = BatchStarkProver(air, cfg, B32)
             bp32.prove_batch([trace] * B32)  # compile + warm
+            _mark("batch timing")
             res_b = _robust_best(
-                {
+                deadline=deadline,
+                runs={
                     # Floors from the round-5 jax.profiler attribution
                     # (NOTES): batch8 = 36 ms exec + ~60 ms transfer
                     # (1.8 MB at the relay's ~30 MB/s) + ~30 ms RTT;
@@ -397,11 +455,15 @@ def main() -> None:
         ok = verifier.verify_batch(vproofs)  # warm
         assert all(ok)
         res_vb = _robust_best(
-            {"verify_batch8": (lambda: verifier.verify_batch(vproofs), 0.02, 3)}
+            deadline=deadline,
+            runs={"verify_batch8": (lambda: verifier.verify_batch(vproofs), 0.02, 3)}
         )
         extras["verify_batch8_proofs_per_s"] = round(
             8 / res_vb["verify_batch8"][0], 2
         )
+
+        _mark("progressive emit (pre large workloads)")
+        _emit_progressive()
 
         # ---- Headline large-scale workloads (BASELINE configs 4/5 and
         # the MDS flagship) — warm-cache-guarded like the batch block so
@@ -422,6 +484,7 @@ def main() -> None:
             cfg20 = StarkConfig(
                 trace_length=T20, blowup=4, num_colinearity_tests=16
             )
+            _mark("capstone warm-up")
             pr20 = StarkProver(air, cfg20)
             p20 = pr20.prove(trace_cols=fibonacci_trace_cols_device(T20))
             v20 = StarkVerifier(air, cfg20)
@@ -445,6 +508,7 @@ def main() -> None:
             cfg21 = StarkConfig(
                 trace_length=T21, blowup=4, num_colinearity_tests=16
             )
+            _mark("max-size warm-up")
             pr21 = StarkProver(air, cfg21)
             p21 = pr21.prove(trace_cols=fibonacci_trace_cols_device(T21))
 
@@ -453,13 +517,33 @@ def main() -> None:
             cfg16 = StarkConfig(
                 trace_length=T16, blowup=4, num_colinearity_tests=16
             )
+            _mark("mds warm-up")
             mair = MdsSquareAir()
             prm = StarkProver(mair, cfg16)
             pm = prm.prove(trace_cols=mds_square_trace_cols_device(T16))
             assert StarkVerifier(mair, cfg16).verify(pm)
 
+            # Flagship pipelined serving: 8-register AIR through
+            # prove_many with device-resident witnesses (traces_cols).
+            # OPT-IN (STARK_TPU_BENCH_FLAGSHIP=1): the c=8 batch mega
+            # graph costs ~85 s of python TRACING per process (measured;
+            # tracing is not covered by the persistent compile cache), too
+            # much risk for an unattended scored run.  Measured when on:
+            # ~101 proofs/s (B=8, T=2^14, depth 2) — see NOTES round 5.
+            import os as _os
+
+            flagship = _os.environ.get("STARK_TPU_BENCH_FLAGSHIP") == "1"
+            if flagship:
+                from stark_tpu.batch import BatchStarkProver
+
+                mcols14 = mds_square_trace_cols_device(T)
+                bpm = BatchStarkProver(mair, cfg, 8)
+                bpm.prove_many(traces_cols=[mcols14] * 16, depth=2)  # warm
+
+            _mark("large-workload timing")
             res_l = _robust_best(
-                {
+                deadline=deadline,
+                runs={
                     "cap_prove": (cap_once, 0.100, 3),
                     "cap_verify": (lambda: v20.verify(p20), 0.030, 3),
                     "max_prove": (
@@ -476,6 +560,19 @@ def main() -> None:
                         0.055,
                         3,
                     ),
+                    **(
+                        {
+                            "mds_pipe8x2": (
+                                lambda: bpm.prove_many(
+                                    traces_cols=[mcols14] * 16, depth=2
+                                ),
+                                0.14,
+                                2,
+                            )
+                        }
+                        if flagship
+                        else {}
+                    ),
                 }
             )
             extras["capstone_prove_T2e20_s"] = round(res_l["cap_prove"][0], 3)
@@ -488,10 +585,15 @@ def main() -> None:
             extras["max_proof_bytes"] = len(p21)
             extras["mds_e2e_T2e16_s"] = round(res_l["mds_e2e"][0], 3)
             extras["mds_proof_bytes"] = len(pm)
+            if flagship:
+                extras["mds_pipeline_proofs_per_s"] = round(
+                    16 / res_l["mds_pipe8x2"][0], 2
+                )
             reps_used.update({k: v[1] for k, v in res_l.items()})
 
         extras["timing_reps"] = reps_used
 
+    _mark("done")
     result = {
         "metric": "NTT points/s/chip at 2^22",
         "value": round(points_per_s, 0),
