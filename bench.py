@@ -389,13 +389,16 @@ def main() -> None:
         import os
 
         # The cache dir is keyed by host CPU features (utils/cache.py).
+        # The batch/large blocks additionally require the REAL backend:
+        # on the CPU fallback (relay down) a T=2^20 capstone or a B=32
+        # batch costs tens of minutes — worse than missing extras.
         warm = any(
             os.listdir(d)
             for d in glob.glob(
                 os.path.join(os.path.dirname(__file__), ".jax_cache*")
             )
             if os.path.isdir(d)
-        )
+        ) and jax.default_backend() == "tpu"
         if warm:
             from stark_tpu.batch import BatchStarkProver
 
