@@ -39,7 +39,7 @@ from stark_tpu.stark import (
     _draw_constraint_challenges,
     trace_cols_u32,
 )
-from stark_tpu.stream import FieldElements, MerklePath, MerkleRoot, ProofStream
+from stark_tpu.stream import FieldElements, MerkleRoot, ProofStream
 from stark_tpu.transcript import FiatShamir
 
 LANE = HB.LANE

@@ -31,7 +31,6 @@ from __future__ import annotations
 import functools
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from stark_tpu.merkle import MerkleTree

@@ -24,7 +24,6 @@ from __future__ import annotations
 import numpy as np
 
 from stark_tpu.field import FieldElement, FiniteField
-from stark_tpu.ops.fieldops import P
 
 _NTT_MUL_CROSSOVER = 64  # below this, schoolbook is faster than dispatch
 
